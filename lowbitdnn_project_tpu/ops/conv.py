@@ -1,0 +1,202 @@
+"""Quantized 2D convolution — the engine's central op.
+
+Capability parity with the reference's conv stack:
+  * int8 x int8 -> int32 accumulation (cuDNN INT8x4 CONFIG at
+    python/qtorch/cpp/conv2d.cuh:124-142, WMMA kernel at
+    cpp/int8conv/conv2DForward3x3TensorCores.cuh)
+  * dequant folded into the epilogue (alpha = in_scale*w_scale,
+    conv2d.cuh:147-155), upgraded here to per-output-channel scales
+  * "external" float output vs pure-int8 requantized output
+    (qconv2d.py "external"/"internal" configs; df-optimization/Int8Conv2d.py
+    takes & returns scale) — selected by ``out_scale``
+  * fused bias/ReLU epilogue (conv2DForward3x3Fused.cuh:216)
+
+TPU design: NHWC activations, HWIO weights (C and K land on the 128-lane
+minor dimension). Three execution paths:
+  * ``xla``  — lax.conv_general_dilated on int8 with int32 accumulation;
+               correctness oracle everywhere, and the fallback off-TPU.
+  * ``gemm`` — im2col (tap-stacking, exact) + the Pallas fused int8 GEMM
+               (kernels/matmul_int8.py); the MXU fast path.
+  * ``auto`` — gemm on TPU, xla elsewhere.
+Depthwise convs (feature_group_count == C) take the XLA path — they are
+VPU/bandwidth-bound, not MXU work (see kernels/depthwise.py for the
+dedicated kernel).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from lowbitdnn_project_tpu.quant.qtensor import QTensor
+from lowbitdnn_project_tpu.kernels.matmul_int8 import (
+    int8_matmul_fused,
+    int8_matmul_xla,
+)
+
+# NHWC activations, HWIO weights, NHWC outputs.
+DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    a, b = v
+    return (int(a), int(b))
+
+
+def conv2d_int32(
+    x: jax.Array,            # (N, H, W, C) int8
+    w: jax.Array,            # (KH, KW, C/groups, K) int8
+    stride: Tuple[int, int] = (1, 1),
+    padding: Tuple[int, int] = (0, 0),
+    dilation: Tuple[int, int] = (1, 1),
+    groups: int = 1,
+) -> jax.Array:
+    """Integer conv core: int8 inputs, exact int32 accumulation (XLA).
+
+    The TPU analogue of the reference's int32-accumulating kernels; also the
+    test oracle (replaces refConv2DForward.hpp's role of "trusted slow conv").
+    """
+    ph, pw = padding
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=dilation,
+        dimension_numbers=DIMSPEC,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def im2col(
+    x: jax.Array,            # (N, H, W, C)
+    ksize: Tuple[int, int],
+    stride: Tuple[int, int],
+    padding: Tuple[int, int],
+    dilation: Tuple[int, int] = (1, 1),
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Stack the KH*KW taps into the channel dim: (N, OH, OW, KH*KW*C).
+
+    Tap-stacking is exact (pure data movement) and turns any conv into one
+    GEMM — the TPU-native analogue of the reference's NCHW_VECT_C repacking
+    (python/qtorch/nn/functional/utils.py:5-18) + implicit-GEMM algorithm
+    choice (conv2d.cuh:142 IMPLICIT_PRECOMP_GEMM).
+    """
+    n, h, wd, c = x.shape
+    kh, kw = ksize
+    sh, sw = stride
+    ph, pw = padding
+    dh, dw = dilation
+    oh = (h + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    ow = (wd + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    taps = []
+    for i in range(kh):
+        for j in range(kw):
+            di, dj = i * dh, j * dw
+            taps.append(jax.lax.slice(
+                x,
+                (0, di, dj, 0),
+                (n, di + (oh - 1) * sh + 1, dj + (ow - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            ))
+    return jnp.concatenate(taps, axis=-1), (oh, ow)
+
+
+def _combined_scale(x_q: QTensor, w_q: QTensor, out_ch: int) -> jax.Array:
+    """Per-output-channel combined scale: in_scale * w_scale[k].
+
+    The reference's qconv_scale = iscale*wscale (qconv2d.py:67,
+    quantization.py:8-15), vectorized over output channels.
+    """
+    if x_q.axis is not None:
+        raise NotImplementedError("per-channel activation scales unsupported")
+    ws = w_q.scale_vector()
+    return jnp.broadcast_to(
+        (x_q.scale * ws).astype(jnp.float32).reshape(-1), (out_ch,))
+
+
+def qconv2d(
+    x_q: QTensor,
+    w_q: QTensor,
+    bias: Optional[jax.Array] = None,
+    *,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+    groups: int = 1,
+    relu: bool = False,
+    out_scale: Optional[jax.Array] = None,
+    out_dtype=jnp.float32,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> Union[jax.Array, QTensor]:
+    """Quantized conv with fused dequant+bias+ReLU(+requant) epilogue.
+
+    Args:
+      x_q: int8 activations, NHWC, per-tensor scale.
+      w_q: int8 weights, HWIO, per-tensor or per-out-channel (axis=3) scale.
+      bias: float bias of shape (K,), added after dequantization.
+      out_scale: if given, requantize the output with this scale and return
+        an int8 QTensor ("internal"/pure-int8 mode); else return float
+        ("external" mode). Matches the reference's two output configs.
+      backend: "auto" | "gemm" (Pallas) | "xla".
+    """
+    stride, padding, dilation = _pair(stride), _pair(padding), _pair(dilation)
+    kh, kw, wc, k = w_q.shape
+    n, h, wdim, c = x_q.shape
+    if wc * groups != c:
+        raise ValueError(
+            f"qconv2d: weight in-channels ({wc}) x groups ({groups}) must "
+            f"equal input channels ({c}); got input {x_q.shape} (NHWC), "
+            f"weight {w_q.shape} (HWIO)")
+
+    scale = _combined_scale(x_q, w_q, k)
+    requant = out_scale is not None
+
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        use_gemm = on_tpu and groups == 1
+        backend = "gemm" if use_gemm else "xla"
+
+    if backend == "gemm":
+        if groups != 1:
+            raise NotImplementedError("gemm path: groups must be 1")
+        if (kh, kw) == (1, 1) and stride == (1, 1) and padding == (0, 0):
+            patches, (oh, ow) = x_q.values.reshape(n, h * wdim, 1, c), (h, wdim)
+            patches = patches.reshape(n * h * wdim, c)
+            oh, ow = h, wdim
+        else:
+            patches, (oh, ow) = im2col(
+                x_q.values, (kh, kw), stride, padding, dilation)
+            patches = patches.reshape(n * oh * ow, kh * kw * c)
+        wmat = w_q.values.reshape(kh * kw * wc, k)
+        out = int8_matmul_fused(
+            patches, wmat, scale, bias, out_scale,
+            relu=relu, requant=requant, out_dtype=out_dtype,
+            interpret=interpret)
+        out = out.reshape(n, oh, ow, k)
+    elif backend == "xla":
+        acc = conv2d_int32(
+            x_q.values, w_q.values, stride, padding, dilation, groups)
+        out = acc.astype(jnp.float32) * scale
+        if bias is not None:
+            out = out + jnp.asarray(bias, jnp.float32)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        if requant:
+            q = jnp.round(out * (1.0 / jnp.asarray(out_scale, jnp.float32)))
+            out = jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+        else:
+            out = out.astype(out_dtype)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    if requant:
+        return QTensor(values=out, scale=jnp.asarray(out_scale, jnp.float32),
+                       bits=8, axis=None)
+    return out
