@@ -1,0 +1,180 @@
+"""MobileNet-V2 — INT8 depthwise+pointwise convs (BASELINE.json config 4).
+
+No reference counterpart; required by the driver baseline. Depthwise convs
+are bandwidth-bound VPU work on TPU (no MXU), pointwise 1x1 convs are pure
+int8 GEMMs — the two extremes of the engine's kernel strategy.
+
+Inverted residual: 1x1 expand (relu6) -> 3x3 depthwise (relu6) -> 1x1
+project (linear), residual when stride 1 and cin == cout.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lowbitdnn_project_tpu.models.layers import (
+    fold_bn,
+    quantize_conv,
+    quantize_linear,
+    QConvParams,
+)
+from lowbitdnn_project_tpu.quant import quantize
+from lowbitdnn_project_tpu.ops import qconv2d, qlinear
+
+
+@struct.dataclass
+class MobileNetV2Config:
+    # (expansion t, out channels c, repeats n, stride s) per stage
+    stages: tuple = struct.field(pytree_node=False, default=(
+        (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+        (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)))
+    num_classes: int = struct.field(pytree_node=False, default=1000)
+    in_channels: int = struct.field(pytree_node=False, default=3)
+    stem_ch: int = struct.field(pytree_node=False, default=32)
+    head_ch: int = struct.field(pytree_node=False, default=1280)
+
+
+MOBILENET_V2 = MobileNetV2Config()
+
+
+def _conv_init(key, kh, kw, cin, cout):
+    std = (2.0 / (kh * kw * cin)) ** 0.5
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std
+
+
+def _bn_init(c, key):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return dict(
+        gamma=1.0 + 0.1 * jax.random.normal(k1, (c,)),
+        beta=0.1 * jax.random.normal(k2, (c,)),
+        mean=0.1 * jax.random.normal(k3, (c,)),
+        var=jnp.exp(0.1 * jax.random.normal(k4, (c,))),
+    )
+
+
+def init_params(key: jax.Array, cfg: MobileNetV2Config = MOBILENET_V2
+                ) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 4096))
+    params: Dict[str, Any] = {
+        "stem": {"w": _conv_init(next(keys), 3, 3, cfg.in_channels, cfg.stem_ch),
+                 "bn": _bn_init(cfg.stem_ch, next(keys))},
+    }
+    cin = cfg.stem_ch
+    blocks: List[Dict[str, Any]] = []
+    for t, c, n, s in cfg.stages:
+        for i in range(n):
+            stride = s if i == 0 else 1
+            cmid = cin * t
+            blk: Dict[str, Any] = {"stride": stride}
+            if t != 1:
+                blk["expand"] = {"w": _conv_init(next(keys), 1, 1, cin, cmid),
+                                 "bn": _bn_init(cmid, next(keys))}
+            # depthwise weight: (3, 3, 1, cmid) HWIO with groups=cmid
+            blk["dw"] = {"w": _conv_init(next(keys), 3, 3, 1, cmid) * (cmid ** 0.5),
+                         "bn": _bn_init(cmid, next(keys))}
+            blk["project"] = {"w": _conv_init(next(keys), 1, 1, cmid, c),
+                              "bn": _bn_init(c, next(keys))}
+            blocks.append(blk)
+            cin = c
+    params["blocks"] = blocks
+    params["head"] = {"w": _conv_init(next(keys), 1, 1, cin, cfg.head_ch),
+                      "bn": _bn_init(cfg.head_ch, next(keys))}
+    params["fc"] = {"w": _conv_init(next(keys), 1, 1, cfg.head_ch,
+                                    cfg.num_classes)[0, 0],
+                    "b": jnp.zeros((cfg.num_classes,))}
+    return params
+
+
+def _bn_apply(x, p, eps=1e-5):
+    return (x - p["mean"]) * (p["gamma"] / jnp.sqrt(p["var"] + eps)) + p["beta"]
+
+
+def _relu6(x):
+    return jnp.clip(x, 0.0, 6.0)
+
+
+def _conv_f32(x, w, stride=1, padding=0, groups=1):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=groups)
+
+
+def apply_fp32(params, x, cfg: MobileNetV2Config = MOBILENET_V2):
+    out = _relu6(_bn_apply(_conv_f32(x, params["stem"]["w"], 2, 1),
+                           params["stem"]["bn"]))
+    for blk in params["blocks"]:
+        identity = out
+        h = out
+        if "expand" in blk:
+            h = _relu6(_bn_apply(_conv_f32(h, blk["expand"]["w"]),
+                                 blk["expand"]["bn"]))
+        cmid = h.shape[-1]
+        h = _relu6(_bn_apply(
+            _conv_f32(h, blk["dw"]["w"], blk["stride"], 1, groups=cmid),
+            blk["dw"]["bn"]))
+        h = _bn_apply(_conv_f32(h, blk["project"]["w"]), blk["project"]["bn"])
+        if blk["stride"] == 1 and identity.shape == h.shape:
+            h = h + identity
+        out = h
+    out = _relu6(_bn_apply(_conv_f32(out, params["head"]["w"]), params["head"]["bn"]))
+    out = jnp.mean(out, axis=(1, 2))
+    return out @ params["fc"]["w"] + params["fc"]["b"]
+
+
+def quantize_params(params, cfg: MobileNetV2Config = MOBILENET_V2, bits: int = 8):
+    def qc(d):
+        wf, bf = fold_bn(d["w"], None, d["bn"]["gamma"], d["bn"]["beta"],
+                         d["bn"]["mean"], d["bn"]["var"])
+        return quantize_conv(wf, bf, bits=bits)
+
+    qp: Dict[str, Any] = {"stem": qc(params["stem"])}
+    qblocks = []
+    for blk in params["blocks"]:
+        qblk = {"stride": blk["stride"], "dw": qc(blk["dw"]),
+                "project": qc(blk["project"])}
+        if "expand" in blk:
+            qblk["expand"] = qc(blk["expand"])
+        qblocks.append(qblk)
+    qp["blocks"] = qblocks
+    qp["head"] = qc(params["head"])
+    qp["fc"] = quantize_linear(params["fc"]["w"], params["fc"]["b"])
+    return qp
+
+
+def _qconv_relu6(x, p: QConvParams, stride=1, padding=0, groups=1,
+                 relu6=True, backend="auto", interpret=False):
+    # relu6's upper clip happens in float after the fused epilogue's relu;
+    # the lower clip rides the in-kernel relu.
+    x_q = quantize(x)
+    out = qconv2d(x_q, p.weight, p.bias, stride=stride, padding=padding,
+                  groups=groups, relu=relu6, backend=backend,
+                  interpret=interpret)
+    return jnp.minimum(out, 6.0) if relu6 else out
+
+
+def apply_quantized(qparams, x, cfg: MobileNetV2Config = MOBILENET_V2, *,
+                    backend: str = "auto", interpret: bool = False):
+    qc = functools.partial(_qconv_relu6, backend=backend, interpret=interpret)
+    out = qc(x, qparams["stem"], stride=2, padding=1)
+    for blk in qparams["blocks"]:
+        identity = out
+        h = out
+        if "expand" in blk:
+            h = qc(h, blk["expand"])
+        cmid = h.shape[-1]
+        # depthwise: XLA/VPU path (groups == channels, no MXU work)
+        h = qc(h, blk["dw"], stride=blk["stride"], padding=1, groups=cmid,
+               backend="xla")
+        h = qc(h, blk["project"], relu6=False)
+        if blk["stride"] == 1 and identity.shape == h.shape:
+            h = h + identity
+        out = h
+    out = qc(out, qparams["head"])
+    out = jnp.mean(out, axis=(1, 2))
+    x_q = quantize(out)
+    return qlinear(x_q, qparams["fc"].weight, qparams["fc"].bias,
+                   backend=backend, interpret=interpret)

@@ -1,0 +1,225 @@
+"""ResNet-18/34/50 — FP32 baseline + INT8/INT4 quantized inference graphs.
+
+Model family required by BASELINE.json configs 2/3/5. The reference has no
+ResNet implementation (its only model is the 4-conv MNIST net, python/tmp.py:31-59);
+it *analyzes* ResNet-34 weights for Winograd quantization ranges
+(weights.py:8-26). Structure and parameter naming follow torchvision's
+resnet so checkpoints can be imported via models/convert.py.
+
+All tensors NHWC / HWIO (TPU-native; C,K on the 128-lane minor dim).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lowbitdnn_project_tpu.models.layers import (
+    QConvParams,
+    QLinearParams,
+    conv_block,
+    fold_bn,
+    linear_block,
+    quantize_conv,
+    quantize_linear,
+)
+from lowbitdnn_project_tpu.ops import max_pool2d, qmax_pool2d, avg_pool2d
+
+
+@struct.dataclass
+class ResNetConfig:
+    stage_blocks: tuple = struct.field(pytree_node=False, default=(2, 2, 2, 2))
+    bottleneck: bool = struct.field(pytree_node=False, default=False)
+    num_classes: int = struct.field(pytree_node=False, default=1000)
+    width: int = struct.field(pytree_node=False, default=64)
+    in_channels: int = struct.field(pytree_node=False, default=3)
+
+    @property
+    def expansion(self) -> int:
+        return 4 if self.bottleneck else 1
+
+
+RESNET18 = ResNetConfig(stage_blocks=(2, 2, 2, 2), bottleneck=False)
+RESNET34 = ResNetConfig(stage_blocks=(3, 4, 6, 3), bottleneck=False)
+RESNET50 = ResNetConfig(stage_blocks=(3, 4, 6, 3), bottleneck=True)
+
+
+# ----------------------------------------------------------------- FP32 init
+
+def _conv_init(key, kh, kw, cin, cout):
+    fan_in = kh * kw * cin
+    std = (2.0 / fan_in) ** 0.5
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std
+
+
+def _bn_init(c, key=None):
+    # Random-ish running stats so BN folding is a real transformation in
+    # tests, not an identity.
+    if key is None:
+        return dict(gamma=jnp.ones((c,)), beta=jnp.zeros((c,)),
+                    mean=jnp.zeros((c,)), var=jnp.ones((c,)))
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return dict(
+        gamma=1.0 + 0.1 * jax.random.normal(k1, (c,)),
+        beta=0.1 * jax.random.normal(k2, (c,)),
+        mean=0.1 * jax.random.normal(k3, (c,)),
+        var=jnp.exp(0.1 * jax.random.normal(k4, (c,))),
+    )
+
+
+def init_params(key: jax.Array, cfg: ResNetConfig = RESNET18,
+                random_bn: bool = True) -> Dict[str, Any]:
+    """Random FP32 parameter pytree (He init, torchvision-like structure)."""
+    keys = iter(jax.random.split(key, 4096))
+
+    def bn(c):
+        return _bn_init(c, next(keys) if random_bn else None)
+
+    params: Dict[str, Any] = {
+        "conv1": _conv_init(next(keys), 7, 7, cfg.in_channels, cfg.width),
+        "bn1": bn(cfg.width),
+    }
+    cin = cfg.width
+    for s, nblocks in enumerate(cfg.stage_blocks):
+        cmid = cfg.width * (2 ** s)
+        cout = cmid * cfg.expansion
+        stage: List[Dict[str, Any]] = []
+        for b in range(nblocks):
+            stride = 2 if (s > 0 and b == 0) else 1
+            blk: Dict[str, Any] = {}
+            if cfg.bottleneck:
+                blk["conv1"] = _conv_init(next(keys), 1, 1, cin, cmid)
+                blk["bn1"] = bn(cmid)
+                blk["conv2"] = _conv_init(next(keys), 3, 3, cmid, cmid)
+                blk["bn2"] = bn(cmid)
+                blk["conv3"] = _conv_init(next(keys), 1, 1, cmid, cout)
+                blk["bn3"] = bn(cout)
+            else:
+                blk["conv1"] = _conv_init(next(keys), 3, 3, cin, cmid)
+                blk["bn1"] = bn(cmid)
+                blk["conv2"] = _conv_init(next(keys), 3, 3, cmid, cout)
+                blk["bn2"] = bn(cout)
+            if stride != 1 or cin != cout:
+                blk["downsample"] = {
+                    "conv": _conv_init(next(keys), 1, 1, cin, cout),
+                    "bn": bn(cout),
+                }
+            stage.append(blk)
+            cin = cout
+        params[f"layer{s + 1}"] = stage
+    params["fc"] = {
+        "w": _conv_init(next(keys), 1, 1, cin, cfg.num_classes)[0, 0],
+        "b": jnp.zeros((cfg.num_classes,)),
+    }
+    return params
+
+
+# ------------------------------------------------------------- FP32 forward
+
+def _bn_apply(x, p, eps=1e-5):
+    inv = p["gamma"] / jnp.sqrt(p["var"] + eps)
+    return (x - p["mean"]) * inv + p["beta"]
+
+
+def _conv_f32(x, w, stride=1, padding=0, relu=False):
+    out = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jnp.maximum(out, 0) if relu else out
+
+
+def apply_fp32(params: Dict[str, Any], x: jax.Array,
+               cfg: ResNetConfig = RESNET18) -> jax.Array:
+    """FP32 inference forward (BN with running stats) — the accuracy baseline."""
+    out = _conv_f32(x, params["conv1"], stride=2, padding=3)
+    out = jnp.maximum(_bn_apply(out, params["bn1"]), 0)
+    out = max_pool2d(out, 3, 2, 1)
+    for s in range(4):
+        for i, blk in enumerate(params[f"layer{s + 1}"]):
+            stride = 2 if (s > 0 and i == 0) else 1
+            identity = out
+            if cfg.bottleneck:
+                h = jnp.maximum(_bn_apply(_conv_f32(out, blk["conv1"]), blk["bn1"]), 0)
+                h = jnp.maximum(_bn_apply(
+                    _conv_f32(h, blk["conv2"], stride=stride, padding=1), blk["bn2"]), 0)
+                h = _bn_apply(_conv_f32(h, blk["conv3"]), blk["bn3"])
+            else:
+                h = jnp.maximum(_bn_apply(
+                    _conv_f32(out, blk["conv1"], stride=stride, padding=1), blk["bn1"]), 0)
+                h = _bn_apply(_conv_f32(h, blk["conv2"], padding=1), blk["bn2"])
+            if "downsample" in blk:
+                identity = _bn_apply(
+                    _conv_f32(out, blk["downsample"]["conv"], stride=stride),
+                    blk["downsample"]["bn"])
+            out = jnp.maximum(h + identity, 0)
+    out = jnp.mean(out, axis=(1, 2))
+    return out @ params["fc"]["w"] + params["fc"]["b"]
+
+
+# ------------------------------------------------- fold + quantize -> INT8
+
+def quantize_params(params: Dict[str, Any], cfg: ResNetConfig = RESNET18,
+                    bits: int = 8) -> Dict[str, Any]:
+    """Fold BN into convs, then per-channel quantize every conv/linear.
+
+    This is the engine's FP32-checkpoint -> quantized-graph converter
+    (SURVEY.md §7 step 4; reference intent at QConv2d.py:24-32 commented
+    state_dict hooks).
+    """
+    def qc(w, bn):
+        wf, bf = fold_bn(w, None, bn["gamma"], bn["beta"], bn["mean"], bn["var"])
+        return quantize_conv(wf, bf, bits=bits)
+
+    qp: Dict[str, Any] = {"conv1": qc(params["conv1"], params["bn1"])}
+    for s in range(4):
+        stage = []
+        for blk in params[f"layer{s + 1}"]:
+            qblk = {"conv1": qc(blk["conv1"], blk["bn1"]),
+                    "conv2": qc(blk["conv2"], blk["bn2"])}
+            if cfg.bottleneck:
+                qblk["conv3"] = qc(blk["conv3"], blk["bn3"])
+            if "downsample" in blk:
+                qblk["downsample"] = qc(blk["downsample"]["conv"],
+                                        blk["downsample"]["bn"])
+            stage.append(qblk)
+        qp[f"layer{s + 1}"] = stage
+    qp["fc"] = quantize_linear(params["fc"]["w"], params["fc"]["b"])
+    return qp
+
+
+# --------------------------------------------------------- quantized forward
+
+def apply_quantized(
+    qparams: Dict[str, Any],
+    x: jax.Array,
+    cfg: ResNetConfig = RESNET18,
+    *,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """INT8 inference forward: every conv/linear runs int8 on the MXU with
+    fused dequant+bias+ReLU epilogues; residual adds in float."""
+    cb = functools.partial(conv_block, backend=backend, interpret=interpret)
+    out = cb(x, qparams["conv1"], stride=2, padding=3, relu=True)
+    out = max_pool2d(out, 3, 2, 1)
+    for s in range(4):
+        blocks = qparams[f"layer{s + 1}"]
+        for i, blk in enumerate(blocks):
+            stride = 2 if (s > 0 and i == 0) else 1
+            identity = out
+            if cfg.bottleneck:
+                h = cb(out, blk["conv1"], relu=True)
+                h = cb(h, blk["conv2"], stride=stride, padding=1, relu=True)
+                h = cb(h, blk["conv3"])
+            else:
+                h = cb(out, blk["conv1"], stride=stride, padding=1, relu=True)
+                h = cb(h, blk["conv2"], padding=1)
+            if "downsample" in blk:
+                identity = cb(out, blk["downsample"], stride=stride)
+            out = jnp.maximum(h + identity, 0)
+    out = jnp.mean(out, axis=(1, 2))
+    return linear_block(out, qparams["fc"], backend=backend,
+                        interpret=interpret)

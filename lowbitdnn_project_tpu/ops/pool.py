@@ -52,9 +52,11 @@ def max_pool2d(
     kh, kw = _pair(ksize)
     sh, sw = _pair(stride if stride is not None else ksize)
     ph, pw = _pair(padding)
+    # NB: init must be a Python scalar, not a device array — an array init
+    # becomes a tracer under jit and defeats the reduce_window-max VJP rule.
     return jax.lax.reduce_window(
         x,
-        jnp.asarray(-jnp.inf, x.dtype),
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),
@@ -79,7 +81,7 @@ def avg_pool2d(x: jax.Array, ksize=2, stride=None, padding=0) -> jax.Array:
     ph, pw = _pair(padding)
     summed = jax.lax.reduce_window(
         x.astype(jnp.float32),
-        jnp.asarray(0.0, jnp.float32),
+        0.0,
         jax.lax.add,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),

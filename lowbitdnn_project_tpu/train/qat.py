@@ -1,0 +1,63 @@
+"""Quantization-aware training: STE fake-quant forward + SGD step.
+
+The reference trains int8 nets two ways: gradient-free annealing
+(python/df-optimization) and int8-as-conv backward experiments
+(qconv2d.py:73-116 backward, proving int8 grads track float grads within
+|delta| <= 1 — tests/main.py:54-66). The TPU engine's gradient path is QAT:
+per-channel fake-quantization on weights with straight-through gradients
+(quant/quantize.py), differentiated by jax.grad — no hand-written backward
+kernels needed because XLA re-derives the transposed convs, which is exactly
+what the reference's hand-written bwd kernels compute (conv with rotated
+kernel, conv2DBackwardData3x3.cuh:61-64).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lowbitdnn_project_tpu.quant import fake_quantize
+
+
+def fake_quantize_tree(params: Any, bits: int = 8) -> Any:
+    """Fake-quantize every conv (ndim 4, axis 3) and linear (ndim 2, axis 1)
+    weight in a param pytree; 1-D tensors (BN, bias) pass through."""
+    def go(x):
+        if not isinstance(x, jax.Array) and not hasattr(x, "ndim"):
+            return x
+        if x.ndim == 4:
+            return fake_quantize(x, bits=bits, axis=3)
+        if x.ndim == 2:
+            return fake_quantize(x, bits=bits, axis=1)
+        return x
+
+    return jax.tree_util.tree_map(go, params)
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+def make_qat_train_step(
+    apply_fn: Callable[[Any, jax.Array], jax.Array],
+    bits: int = 8,
+    lr: float = 1e-3,
+) -> Callable[[Any, jax.Array, jax.Array], Tuple[Any, jax.Array]]:
+    """Build a jittable SGD step: loss = CE(apply_fn(fake_quant(params), x)).
+
+    Returns (new_params, loss). Gradients flow through the fake-quant STE.
+    """
+    def loss_fn(params, x, labels):
+        qparams = fake_quantize_tree(params, bits=bits)
+        logits = apply_fn(qparams, x)
+        return cross_entropy(logits, labels)
+
+    def step(params, x, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g if g is not None else p, params, grads)
+        return new_params, loss
+
+    return step
