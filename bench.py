@@ -29,13 +29,19 @@ def main():
     batch = 32
     params = jax.jit(lambda k: resnet.init_params(k, cfg))(jax.random.key(0))
     qparams = jax.jit(lambda p: resnet.quantize_params(p, cfg))(params)
-    x = jnp.ones((batch, 224, 224, 3), jnp.float32)
+    import numpy as np
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 224, 224, 3)),
+        jnp.float32)
+    act_scales = resnet.calibrate_act_scales(params, [x], cfg)
 
     def int8_step(carry):
-        logits = resnet.apply_quantized(qparams, carry, cfg)
+        logits = resnet.apply_quantized_int8chain(
+            qparams, carry, act_scales, cfg, backend="xla")
         return chain_via_scalar(carry, logits)
 
-    t_int8 = chained_device_time(int8_step, x, lo=3, hi=13)
+    t_int8 = chained_device_time(int8_step, x, lo=5, hi=55)
 
     params_bf16 = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
@@ -46,7 +52,7 @@ def main():
         logits = resnet.apply_fp32(params_bf16, carry, cfg)
         return chain_via_scalar(carry, logits)
 
-    t_bf16 = chained_device_time(bf16_step, xb, lo=3, hi=13)
+    t_bf16 = chained_device_time(bf16_step, xb, lo=5, hi=55)
 
     ips_int8 = batch / t_int8
     ips_bf16 = batch / t_bf16

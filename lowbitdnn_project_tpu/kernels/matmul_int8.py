@@ -105,35 +105,36 @@ def int8_matmul_fused(
     K2, N = b.shape
     assert K == K2, (a.shape, b.shape)
 
-    # Alignment: int8 operand tiles want (32, 128); f32 epilogue tiles (8, 128).
-    m_align = 32 if requant else 8
-    bm = _pick_block(M, bm, m_align)
-    bn = _pick_block(N, bn, 128)
-    bk = _pick_block(K, bk, 128)
+    # No host-side padding: a jnp.pad would burn HBM bandwidth (measured 2x
+    # slowdown on K=64 shapes). Pallas/Mosaic pads sub-128 minor dims and
+    # ragged edge blocks internally, for free. Only constraint: the K-grid
+    # accumulation needs exact K tiling, so shrink bk to a divisor of K.
+    bm = min(bm, _round_up(M, 32 if requant else 8))
+    bn = min(bn, N) if N % 128 == 0 or N <= 256 else 128
+    if N % bn:
+        bn = N if N <= 512 else 128
+    bk = min(bk, K)
+    if K % bk:
+        cand = [d for d in range(bk - bk % 128, 0, -128) if K % d == 0]
+        bk = cand[0] if cand else K
 
-    Mp, Kp, Np = _round_up(M, bm), _round_up(K, bk), _round_up(N, bn)
-    if (Mp, Kp) != (M, K):
-        a = jnp.pad(a, ((0, Mp - M), (0, Kp - K)))
-    if (Kp, Np) != (K, N):
-        b = jnp.pad(b, ((0, Kp - K), (0, Np - N)))
-
-    scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32).reshape(-1), (N,))
-    scale = jnp.pad(scale, (0, Np - N)).reshape(1, Np)
+    scale = jnp.broadcast_to(
+        jnp.asarray(scale, jnp.float32).reshape(-1), (N,)).reshape(1, N)
     if bias is None:
         bias = jnp.zeros((N,), jnp.float32)
-    bias = jnp.pad(jnp.asarray(bias, jnp.float32), (0, Np - N)).reshape(1, Np)
+    bias = jnp.asarray(bias, jnp.float32).reshape(1, N)
     if out_scale is None:
         out_scale = jnp.ones((), jnp.float32)
     out_scale = jnp.asarray(out_scale, jnp.float32).reshape(1)
 
-    nk = Kp // bk
-    grid = (Mp // bm, Np // bn, nk)
+    nk = K // bk
+    grid = (_cdiv(M, bm), _cdiv(N, bn), nk)
 
     kernel = functools.partial(
         _matmul_kernel, nk=nk, relu=relu, requant=requant)
 
     out_elem = jnp.int8 if requant else out_dtype
-    flops = 2 * Mp * Np * Kp
+    flops = 2 * M * N * K
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -150,21 +151,18 @@ def int8_matmul_fused(
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_elem),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_elem),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=Mp * Kp + Kp * Np + Mp * Np * (1 if requant else 4),
+            bytes_accessed=M * K + K * N + M * N * (1 if requant else 4),
             transcendentals=0,
         ),
         interpret=interpret,
     )(a, b, scale, bias, out_scale)
-
-    if (Mp, Np) != (M, N):
-        out = out[:M, :N]
     return out
 
 

@@ -70,6 +70,7 @@ def conv_block(
     groups: int = 1,
     relu: bool = False,
     act_scale: Optional[jax.Array] = None,
+    out_dtype=jnp.float32,
     backend: str = "auto",
     interpret: bool = False,
 ) -> jax.Array:
@@ -78,12 +79,13 @@ def conv_block(
 
     This is the reference's "external" config flow (qconv2d.py:49-71:
     quantize input -> int8 conv -> float out), with the dequant folded into
-    the kernel epilogue.
+    the kernel epilogue. A static ``act_scale`` (from calibration) removes
+    the dynamic absmax reduction pass — the big inference win.
     """
     x_q = quantize(x, scale=act_scale)
     return qconv2d(x_q, p.weight, p.bias, stride=stride, padding=padding,
-                   groups=groups, relu=relu, backend=backend,
-                   interpret=interpret)
+                   groups=groups, relu=relu, out_dtype=out_dtype,
+                   backend=backend, interpret=interpret)
 
 
 def linear_block(
@@ -92,9 +94,10 @@ def linear_block(
     *,
     relu: bool = False,
     act_scale: Optional[jax.Array] = None,
+    out_dtype=jnp.float32,
     backend: str = "auto",
     interpret: bool = False,
 ) -> jax.Array:
     x_q = quantize(x, scale=act_scale)
-    return qlinear(x_q, p.weight, p.bias, relu=relu, backend=backend,
-                   interpret=interpret)
+    return qlinear(x_q, p.weight, p.bias, relu=relu, out_dtype=out_dtype,
+                   backend=backend, interpret=interpret)

@@ -197,29 +197,189 @@ def apply_quantized(
     x: jax.Array,
     cfg: ResNetConfig = RESNET18,
     *,
+    act_scales: Optional[Dict[str, jax.Array]] = None,
+    act_dtype=jnp.float32,
     backend: str = "auto",
     interpret: bool = False,
 ) -> jax.Array:
     """INT8 inference forward: every conv/linear runs int8 on the MXU with
-    fused dequant+bias+ReLU epilogues; residual adds in float."""
-    cb = functools.partial(conv_block, backend=backend, interpret=interpret)
-    out = cb(x, qparams["conv1"], stride=2, padding=3, relu=True)
+    fused dequant+bias+ReLU epilogues; residual adds in float.
+
+    act_scales: optional calibrated static scales keyed by conv site
+    ("conv1", "layer1.0.conv2", ..., "fc") — removes per-layer dynamic
+    absmax passes. act_dtype: dtype of inter-layer activations (bf16 halves
+    HBM traffic vs f32 with negligible accuracy impact: activations were
+    just int8 anyway).
+    """
+    scales = act_scales or {}
+
+    def cb(x, p, name, **kw):
+        return conv_block(x, p, act_scale=scales.get(name),
+                          out_dtype=act_dtype, backend=backend,
+                          interpret=interpret, **kw)
+
+    out = cb(x, qparams["conv1"], "conv1", stride=2, padding=3, relu=True)
     out = max_pool2d(out, 3, 2, 1)
     for s in range(4):
         blocks = qparams[f"layer{s + 1}"]
         for i, blk in enumerate(blocks):
             stride = 2 if (s > 0 and i == 0) else 1
+            pre = f"layer{s + 1}.{i}"
             identity = out
             if cfg.bottleneck:
-                h = cb(out, blk["conv1"], relu=True)
-                h = cb(h, blk["conv2"], stride=stride, padding=1, relu=True)
-                h = cb(h, blk["conv3"])
+                h = cb(out, blk["conv1"], f"{pre}.conv1", relu=True)
+                h = cb(h, blk["conv2"], f"{pre}.conv2", stride=stride,
+                       padding=1, relu=True)
+                h = cb(h, blk["conv3"], f"{pre}.conv3")
             else:
-                h = cb(out, blk["conv1"], stride=stride, padding=1, relu=True)
-                h = cb(h, blk["conv2"], padding=1)
+                h = cb(out, blk["conv1"], f"{pre}.conv1", stride=stride,
+                       padding=1, relu=True)
+                h = cb(h, blk["conv2"], f"{pre}.conv2", padding=1)
             if "downsample" in blk:
-                identity = cb(out, blk["downsample"], stride=stride)
+                identity = cb(out, blk["downsample"], f"{pre}.downsample",
+                              stride=stride)
             out = jnp.maximum(h + identity, 0)
-    out = jnp.mean(out, axis=(1, 2))
-    return linear_block(out, qparams["fc"], backend=backend,
-                        interpret=interpret)
+    out = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
+    return linear_block(out, qparams["fc"], act_scale=scales.get("fc"),
+                        backend=backend, interpret=interpret)
+
+
+def apply_quantized_int8chain(
+    qparams: Dict[str, Any],
+    x: jax.Array,
+    act_scales: Dict[str, jax.Array],
+    cfg: ResNetConfig = RESNET18,
+    *,
+    act_dtype=jnp.bfloat16,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Fully int8-chained inference: activations stay int8 between convs.
+
+    Every conv consumes an int8 QTensor and emits int8 requantized in the
+    fused epilogue at the *consumer's* calibrated scale — the reference's
+    pure-int8 "internal" pipeline (df-optimization/Int8Conv2d.py forward
+    takes & returns scale), upgraded with static calibration. Only block
+    boundaries (residual add + relu) run in float, then requantize.
+    Residual adds run in the int8 domain: both operands are requantized to
+    the consumer's scale in their conv epilogues (the skip path by a fused
+    int8->int8 rescale), summed in int16, clipped to [0, 127] (the clamp IS
+    the relu). Requires act_scales from calibrate_act_scales.
+    """
+    from lowbitdnn_project_tpu.quant import quantize
+    from lowbitdnn_project_tpu.quant.qtensor import QTensor
+    from lowbitdnn_project_tpu.ops import qconv2d, qlinear, qmax_pool2d
+
+    s = act_scales
+
+    def qc(x_q, p, relu, out_scale=None, stride=1, padding=0):
+        return qconv2d(x_q, p.weight, p.bias, stride=stride, padding=padding,
+                       relu=relu, out_scale=out_scale, out_dtype=act_dtype,
+                       backend=backend, interpret=interpret)
+
+    def rescale(x_q: QTensor, new_scale) -> QTensor:
+        r = jnp.round(x_q.values.astype(jnp.float32) * (x_q.scale / new_scale))
+        return QTensor(values=jnp.clip(r, -127, 127).astype(jnp.int8),
+                       scale=new_scale)
+
+    def next_site(st, i):
+        nblocks = cfg.stage_blocks[st]
+        if i + 1 < nblocks:
+            return f"layer{st + 1}.{i + 1}.conv1"
+        if st < 3:
+            return f"layer{st + 2}.0.conv1"
+        return "fc"
+
+    x_q = quantize(x, scale=s["conv1"])
+    x_q = qc(x_q, qparams["conv1"], relu=True, out_scale=s["layer1.0.conv1"],
+             stride=2, padding=3)
+    x_q = qmax_pool2d(x_q, 3, 2, 1)
+    for st in range(4):
+        for i, blk in enumerate(qparams[f"layer{st + 1}"]):
+            stride = 2 if (st > 0 and i == 0) else 1
+            pre = f"layer{st + 1}.{i}"
+            s_out = s[next_site(st, i)]
+            if cfg.bottleneck:
+                h = qc(x_q, blk["conv1"], relu=True, out_scale=s[f"{pre}.conv2"])
+                h = qc(h, blk["conv2"], relu=True, out_scale=s[f"{pre}.conv3"],
+                       stride=stride, padding=1)
+                h = qc(h, blk["conv3"], relu=False, out_scale=s_out)
+            else:
+                h = qc(x_q, blk["conv1"], relu=True,
+                       out_scale=s[f"{pre}.conv2"], stride=stride, padding=1)
+                h = qc(h, blk["conv2"], relu=False, padding=1, out_scale=s_out)
+            if "downsample" in blk:
+                identity = qc(x_q, blk["downsample"], relu=False,
+                              stride=stride, out_scale=s_out)
+            else:
+                identity = rescale(x_q, s_out)
+            sum16 = (h.values.astype(jnp.int16)
+                     + identity.values.astype(jnp.int16))
+            x_q = QTensor(values=jnp.clip(sum16, 0, 127).astype(jnp.int8),
+                          scale=s_out)
+    feat = jnp.mean(x_q.values.astype(jnp.float32), axis=(1, 2)) * x_q.scale
+    x_fc = quantize(feat, scale=s["fc"])
+    return qlinear(x_fc, qparams["fc"].weight, qparams["fc"].bias,
+                   backend=backend, interpret=interpret)
+
+
+def calibrate_act_scales(
+    params: Dict[str, Any],
+    batches,
+    cfg: ResNetConfig = RESNET18,
+    bits: int = 8,
+) -> Dict[str, jax.Array]:
+    """Static activation calibration: run FP32 forwards over calibration
+    batches, record absmax at every conv/linear input site, return
+    site -> scale. (Reference quantizes dynamically per batch,
+    qconv2d.py:52-56; static calibration is the production upgrade.)"""
+    from lowbitdnn_project_tpu.quant.qtensor import QMAX
+
+    @jax.jit
+    def site_absmax(params, x):
+        caps: Dict[str, jax.Array] = {}
+
+        def track(name, v):
+            caps[name] = jnp.max(jnp.abs(v))
+            return v
+
+        out = _conv_f32(track("conv1", x), params["conv1"], stride=2, padding=3)
+        out = jnp.maximum(_bn_apply(out, params["bn1"]), 0)
+        out = max_pool2d(out, 3, 2, 1)
+        for s in range(4):
+            for i, blk in enumerate(params[f"layer{s + 1}"]):
+                stride = 2 if (s > 0 and i == 0) else 1
+                pre = f"layer{s + 1}.{i}"
+                identity = out
+                if cfg.bottleneck:
+                    h = jnp.maximum(_bn_apply(_conv_f32(
+                        track(f"{pre}.conv1", out), blk["conv1"]), blk["bn1"]), 0)
+                    h = jnp.maximum(_bn_apply(_conv_f32(
+                        track(f"{pre}.conv2", h), blk["conv2"], stride=stride,
+                        padding=1), blk["bn2"]), 0)
+                    h = _bn_apply(_conv_f32(
+                        track(f"{pre}.conv3", h), blk["conv3"]), blk["bn3"])
+                else:
+                    h = jnp.maximum(_bn_apply(_conv_f32(
+                        track(f"{pre}.conv1", out), blk["conv1"], stride=stride,
+                        padding=1), blk["bn1"]), 0)
+                    h = _bn_apply(_conv_f32(
+                        track(f"{pre}.conv2", h), blk["conv2"], padding=1),
+                        blk["bn2"])
+                if "downsample" in blk:
+                    track(f"{pre}.downsample", out)
+                    identity = _bn_apply(
+                        _conv_f32(out, blk["downsample"]["conv"], stride=stride),
+                        blk["downsample"]["bn"])
+                out = jnp.maximum(h + identity, 0)
+        out = jnp.mean(out, axis=(1, 2))
+        track("fc", out)
+        return caps
+
+    maxima: Dict[str, jax.Array] = {}
+    for x in batches:
+        caps = site_absmax(params, x)
+        for k, v in caps.items():
+            maxima[k] = jnp.maximum(maxima[k], v) if k in maxima else v
+    qmax = QMAX[bits]
+    return {k: jnp.maximum(v, 1e-12) / qmax for k, v in maxima.items()}

@@ -1,0 +1,49 @@
+"""Calibration + fully-int8-chained inference tests (CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lowbitdnn_project_tpu.models import resnet
+
+TINY = resnet.ResNetConfig(stage_blocks=(1, 1, 1, 1), bottleneck=True,
+                           num_classes=10, width=8)
+
+
+def test_calibration_covers_all_sites(rng):
+    params = resnet.init_params(jax.random.key(0), TINY)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    scales = resnet.calibrate_act_scales(params, [x], TINY)
+    # conv1 + 4 stages x (conv1,conv2,conv3 [+downsample]) + fc
+    assert "conv1" in scales and "fc" in scales
+    assert "layer1.0.conv2" in scales and "layer4.0.downsample" in scales
+    assert all(float(s) > 0 for s in scales.values())
+    # absmax semantics: input-site scale matches the true absmax / 127
+    np.testing.assert_allclose(
+        float(scales["conv1"]), float(jnp.max(jnp.abs(x))) / 127, rtol=1e-5)
+
+
+def test_int8chain_tracks_fp32(rng):
+    params = resnet.init_params(jax.random.key(1), TINY)
+    qparams = resnet.quantize_params(params, TINY)
+    xc = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    scales = resnet.calibrate_act_scales(params, [xc], TINY)
+    lf = resnet.apply_fp32(params, xc, TINY)
+    lq = resnet.apply_quantized_int8chain(qparams, xc, scales, TINY,
+                                          backend="xla")
+    rel = float(jnp.linalg.norm(lq - lf) / jnp.linalg.norm(lf))
+    assert rel < 0.25, rel
+    agree = float(jnp.mean(
+        (jnp.argmax(lq, -1) == jnp.argmax(lf, -1)).astype(jnp.float32)))
+    assert agree >= 0.75, agree
+
+
+def test_int8chain_jits(rng):
+    params = resnet.init_params(jax.random.key(1), TINY)
+    qparams = resnet.quantize_params(params, TINY)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    scales = resnet.calibrate_act_scales(params, [x], TINY)
+    f = jax.jit(lambda p, xx: resnet.apply_quantized_int8chain(
+        p, xx, scales, TINY, backend="xla"))
+    out = f(qparams, x)
+    assert out.shape == (2, 10)
+    assert np.isfinite(np.asarray(out)).all()
