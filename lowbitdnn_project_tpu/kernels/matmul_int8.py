@@ -75,6 +75,39 @@ def _pick_block(dim: int, pref: int, align: int) -> int:
     return _round_up(dim, align)
 
 
+def choose_blocks(M: int, K: int, N: int, requant: bool,
+                  vmem_budget: int = 11 * 2 ** 20):
+    """Grid-step count dominates Pallas matmul cost on this chip
+    (~0.2us/step measured): maximize block sizes within VMEM.
+
+    bk: whole K when it fits (<=2048), else the largest 128-multiple divisor;
+    bn: up to 512; bm: grown until the working set (double-buffered A/out +
+    resident B + int32 accumulator) hits the budget.
+    """
+    if K <= 2048:
+        bk = K
+    else:
+        cand = [d for d in range(2048, 0, -128) if K % d == 0]
+        bk = cand[0] if cand else K
+    bn = min(N, 512)
+    if N % bn:
+        bn = N if N <= 1024 else (256 if N % 256 == 0 else 128)
+
+    out_bytes = 1 if requant else 4
+    bm = 256
+    while bm < 8192 and bm < M:
+        nxt = bm * 2
+        use = (2 * nxt * bk          # A blocks, double-buffered
+               + 2 * bk * bn         # B blocks
+               + 4 * nxt * bn        # int32 accumulator scratch
+               + 2 * nxt * bn * out_bytes)
+        if use > vmem_budget:
+            break
+        bm = nxt
+    bm = min(bm, _round_up(M, 32 if requant else 8))
+    return bm, bn, bk
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("relu", "requant", "out_dtype", "bm", "bn", "bk",
@@ -90,9 +123,9 @@ def int8_matmul_fused(
     relu: bool = False,
     requant: bool = False,
     out_dtype=jnp.float32,
-    bm: int = 256,
-    bn: int = 256,
-    bk: int = 512,
+    bm: Optional[int] = None,
+    bn: Optional[int] = None,
+    bk: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """C = epilogue(A @ B) with int8 inputs and int32 accumulation.
@@ -100,19 +133,18 @@ def int8_matmul_fused(
     epilogue(acc) = [requantize_{out_scale}] ( [relu] ( acc * scale + bias ) )
 
     Returns int8 (requant=True) or ``out_dtype`` float array of shape (M, N).
+    Block sizes default to choose_blocks (big blocks, few grid steps); no
+    host-side padding — Pallas/Mosaic pads sub-128 and ragged tiles free.
     """
     M, K = a.shape
     K2, N = b.shape
     assert K == K2, (a.shape, b.shape)
 
-    # No host-side padding: a jnp.pad would burn HBM bandwidth (measured 2x
-    # slowdown on K=64 shapes). Pallas/Mosaic pads sub-128 minor dims and
-    # ragged edge blocks internally, for free. Only constraint: the K-grid
-    # accumulation needs exact K tiling, so shrink bk to a divisor of K.
+    abm, abn, abk = choose_blocks(M, K, N, requant)
+    bm, bn, bk = bm or abm, bn or abn, bk or abk
     bm = min(bm, _round_up(M, 32 if requant else 8))
-    bn = min(bn, N) if N % 128 == 0 or N <= 256 else 128
     if N % bn:
-        bn = N if N <= 512 else 128
+        bn = N if N <= 1024 else 128
     bk = min(bk, K)
     if K % bk:
         cand = [d for d in range(bk - bk % 128, 0, -128) if K % d == 0]
