@@ -1,0 +1,224 @@
+"""JSON-config benchmark sweep runner — reference cpp/apps/benchmark.cpp
+re-expressed: reads configs.json, runs every (config x experiment-point)
+pair that applies, writes output.json records.
+
+Usage:  python -m lowbitdnn_project_tpu.bench.sweep [--config PATH]
+        [--experiment NAME] [--out output.json] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lowbitdnn_project_tpu.bench.roofline import (
+    conv_cost,
+    detect_chip,
+    matmul_cost,
+    roofline_pct,
+)
+from lowbitdnn_project_tpu.utils.timing import chained_device_time
+
+_DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "configs.json")
+
+
+def _rand_int8(rng, shape):
+    return jnp.asarray(rng.integers(-50, 51, shape), jnp.int8)
+
+
+def _chain_int(c, out):
+    return c ^ (jnp.sum(out.astype(jnp.int32)).astype(c.dtype) & 1)
+
+
+def _conv_step(cfg_name: str, x, w, stride, pad, scale):
+    """Build the timed step for one conv config; returns None if N/A."""
+    from lowbitdnn_project_tpu.ops.conv import conv2d_int32, DIMSPEC
+    from lowbitdnn_project_tpu.kernels.conv_direct import conv2d_direct_int8
+    from lowbitdnn_project_tpu.ops.winograd import (
+        qconv2d_winograd, wino_quantize_filter)
+    from lowbitdnn_project_tpu.quant import QTensor
+
+    kh = w.shape[0]
+    if cfg_name.startswith("int8_xla"):
+        requant = not cfg_name.endswith("float_out")
+
+        def step(c):
+            acc = conv2d_int32(c, w, (stride, stride), (pad, pad))
+            out = acc.astype(jnp.float32) * scale
+            if requant:
+                out = jnp.clip(jnp.round(out * 2.0), -127, 127).astype(jnp.int8)
+            else:
+                out = out.astype(jnp.bfloat16)
+            return _chain_int(c, out)
+        return step, x
+    if cfg_name == "bf16_xla":
+        xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+
+        def step(c):
+            out = jax.lax.conv_general_dilated(
+                c, wb, (stride, stride), ((pad, pad), (pad, pad)),
+                dimension_numbers=DIMSPEC)
+            return c + (jnp.sum(out) * 0).astype(c.dtype)
+        return step, xb
+    if cfg_name == "direct_pallas":
+        if stride != 1 or x.shape[-1] % 128:
+            return None
+
+        def step(c):
+            out = conv2d_direct_int8(c, w, scale.reshape(-1), kh=kh, kw=kh,
+                                     padding=pad)
+            return _chain_int(c, out)
+        return step, x
+    if cfg_name == "winograd_int8":
+        if kh != 3 or stride != 1 or pad != 1 or x.shape[1] % 2:
+            return None
+        wq = QTensor(values=w, scale=jnp.asarray(0.05, jnp.float32))
+        u, us = wino_quantize_filter(wq, mode="int8")
+
+        def step(c):
+            q = qconv2d_winograd(
+                QTensor(values=c, scale=jnp.asarray(0.1, jnp.float32)),
+                u, us, relu=True, out_scale=jnp.asarray(0.5))
+            return _chain_int(c, q.values)
+        return step, x
+    if cfg_name == "int8_pallas_gemm":
+        if kh != 1 or stride != 1:
+            return None   # gemm conv path benched via 1x1 only
+        from lowbitdnn_project_tpu.kernels.matmul_int8 import int8_matmul_fused
+        n, h, wd, cin = x.shape
+        a = x.reshape(n * h * wd, cin)
+        wm = w.reshape(cin, -1)
+
+        def step(c):
+            out = int8_matmul_fused(c, wm, scale.reshape(-1), None,
+                                    jnp.asarray(2.0), relu=True, requant=True)
+            return _chain_int(c, out)
+        return step, a
+    return None
+
+
+def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
+                  repeats: Dict[str, int], seed=0) -> List[Dict[str, Any]]:
+    rng = np.random.default_rng(seed)
+    chip = detect_chip()
+    results = []
+    for b, hw, cin, cout in itertools.product(
+            exp["batch"], exp["spatial"], exp["channels"], exp["filters"]):
+        k, stride, pad = exp["kernel"], exp["stride"], exp["pad"]
+        if cout < cin:          # reference skips numFilters < C
+            continue
+        x = _rand_int8(rng, (b, hw, hw, cin))
+        w = _rand_int8(rng, (k, k, cin, cout))
+        scale = jnp.full((1, 1, 1, cout), 0.01, jnp.float32)
+        oh = (hw + 2 * pad - k) // stride + 1
+        cost = conv_cost(b, oh, oh, k, k, cin, cout, hw, hw)
+        for cfg in configs:
+            built = _conv_step(cfg["name"], x, w, stride, pad, scale)
+            if built is None:
+                continue
+            step, init = built
+            try:
+                t = chained_device_time(step, init, lo=repeats["lo"],
+                                        hi=repeats["hi"])
+            except Exception as e:  # record failures, keep sweeping
+                results.append(dict(experiment=exp["name"], config=cfg["name"],
+                                    batch=b, hw=hw, cin=cin, cout=cout,
+                                    error=f"{type(e).__name__}"))
+                continue
+            rec = dict(experiment=exp["name"], config=cfg["name"], batch=b,
+                       hw=hw, cin=cin, cout=cout, k=k, stride=stride,
+                       time_us=round(t * 1e6, 2),
+                       tops=round(cost.flops / t / 1e12, 1),
+                       roofline_pct=round(roofline_pct(t, cost, chip), 1))
+            results.append(rec)
+            print(rec)
+    return results
+
+
+def run_gemm_grid(exp, configs, repeats, seed=0):
+    from lowbitdnn_project_tpu.kernels.matmul_int8 import (
+        int8_matmul_fused, int8_matmul_xla)
+    from lowbitdnn_project_tpu.kernels.matmul_w4a8 import (
+        pack_int4_rows, w4a8_matmul_fused)
+
+    rng = np.random.default_rng(seed)
+    chip = detect_chip()
+    results = []
+    for m, k, n in itertools.product(exp["m"], exp["k"], exp["n"]):
+        a = _rand_int8(rng, (m, k))
+        w8 = _rand_int8(rng, (k, n))
+        w4 = jnp.asarray(np.asarray(w8) % 15 - 7, jnp.int8)
+        s = jnp.full((n,), 0.01, jnp.float32)
+        cost = matmul_cost(m, k, n)
+        steps = {
+            "int8_xla": (lambda c: _chain_int(c, int8_matmul_xla(c, w8, s)), a),
+            "int8_pallas_gemm": (
+                lambda c: _chain_int(c, int8_matmul_fused(c, w8, s)), a),
+            "w4a8_pallas": (
+                lambda c, wp=pack_int4_rows(w4): _chain_int(
+                    c, w4a8_matmul_fused(c, wp, s)), a),
+        }
+        for cfg in configs:
+            if cfg["name"] not in steps:
+                continue
+            step, init = steps[cfg["name"]]
+            try:
+                t = chained_device_time(step, init, lo=repeats["lo"],
+                                        hi=repeats["hi"])
+            except Exception as e:
+                results.append(dict(experiment=exp["name"], config=cfg["name"],
+                                    m=m, k=k, n=n, error=type(e).__name__))
+                continue
+            rec = dict(experiment=exp["name"], config=cfg["name"], m=m, k=k,
+                       n=n, time_us=round(t * 1e6, 2),
+                       tops=round(cost.flops / t / 1e12, 1),
+                       roofline_pct=round(roofline_pct(t, cost, chip), 1))
+            results.append(rec)
+            print(rec)
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=_DEFAULT_CONFIG)
+    ap.add_argument("--experiment", default=None)
+    ap.add_argument("--out", default="output.json")
+    ap.add_argument("--quick", action="store_true",
+                    help="shrink grids to one point each")
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        conf = json.load(f)
+    repeats = conf.get("repeats", {"lo": 50, "hi": 550})
+    results = []
+    for exp in conf["experiments"]:
+        if args.experiment and exp["name"] != args.experiment:
+            continue
+        if exp["kind"] == "conv_grid":
+            e = dict(exp)
+            if args.quick:
+                for key in ("batch", "spatial", "channels", "filters"):
+                    e[key] = e[key][:1]
+            results += run_conv_grid(e, conf["configs"], repeats)
+        elif exp["kind"] == "gemm_grid":
+            e = dict(exp)
+            if args.quick:
+                for key in ("m", "k", "n"):
+                    e[key] = e[key][:1]
+            results += run_gemm_grid(e, conf["configs"], repeats)
+        elif exp["kind"] == "model_layers":
+            from lowbitdnn_project_tpu.bench.harness import run_resnet50_sweep
+            results += run_resnet50_sweep(exp["batch"][0])
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {len(results)} records to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,15 @@ def init_params(key: jax.Array, cfg: MobileNetV2Config = MOBILENET_V2
     return params
 
 
+def block_strides(cfg: MobileNetV2Config):
+    """Static per-block strides derived from cfg.stages (jit-safe: never
+    read stride out of a traced param pytree)."""
+    out = []
+    for t, c, n, s in cfg.stages:
+        out += [s] + [1] * (n - 1)
+    return out
+
+
 def _bn_apply(x, p, eps=1e-5):
     return (x - p["mean"]) * (p["gamma"] / jnp.sqrt(p["var"] + eps)) + p["beta"]
 
@@ -104,9 +113,10 @@ def _conv_f32(x, w, stride=1, padding=0, groups=1):
 
 
 def apply_fp32(params, x, cfg: MobileNetV2Config = MOBILENET_V2):
+    strides = block_strides(cfg)
     out = _relu6(_bn_apply(_conv_f32(x, params["stem"]["w"], 2, 1),
                            params["stem"]["bn"]))
-    for blk in params["blocks"]:
+    for i, blk in enumerate(params["blocks"]):
         identity = out
         h = out
         if "expand" in blk:
@@ -114,10 +124,10 @@ def apply_fp32(params, x, cfg: MobileNetV2Config = MOBILENET_V2):
                                  blk["expand"]["bn"]))
         cmid = h.shape[-1]
         h = _relu6(_bn_apply(
-            _conv_f32(h, blk["dw"]["w"], blk["stride"], 1, groups=cmid),
+            _conv_f32(h, blk["dw"]["w"], strides[i], 1, groups=cmid),
             blk["dw"]["bn"]))
         h = _bn_apply(_conv_f32(h, blk["project"]["w"]), blk["project"]["bn"])
-        if blk["stride"] == 1 and identity.shape == h.shape:
+        if strides[i] == 1 and identity.shape == h.shape:
             h = h + identity
         out = h
     out = _relu6(_bn_apply(_conv_f32(out, params["head"]["w"]), params["head"]["bn"]))
@@ -156,21 +166,133 @@ def _qconv_relu6(x, p: QConvParams, stride=1, padding=0, groups=1,
     return jnp.minimum(out, 6.0) if relu6 else out
 
 
+def calibrate_act_scales(params, batches, cfg: MobileNetV2Config = MOBILENET_V2,
+                         qmax: int = 127):
+    """Static activation calibration at every conv input site (absmax),
+    mirroring resnet.calibrate_act_scales."""
+    import jax as _jax
+
+    # strides must be static (conv window_strides): derive from cfg, never
+    # from the param pytree (whose leaves may be traced or device arrays)
+    strides = block_strides(cfg)
+
+    @_jax.jit
+    def site_absmax(params, x):
+        caps = {}
+
+        def track(name, v):
+            caps[name] = jnp.max(jnp.abs(v))
+            return v
+
+        out = _relu6(_bn_apply(_conv_f32(track("stem", x), params["stem"]["w"],
+                                         2, 1), params["stem"]["bn"]))
+        for i, blk in enumerate(params["blocks"]):
+            identity = out
+            h = out
+            if "expand" in blk:
+                h = _relu6(_bn_apply(_conv_f32(track(f"b{i}.expand", h),
+                                               blk["expand"]["w"]),
+                                     blk["expand"]["bn"]))
+            cmid = h.shape[-1]
+            h = _relu6(_bn_apply(
+                _conv_f32(track(f"b{i}.dw", h), blk["dw"]["w"], strides[i],
+                          1, groups=cmid), blk["dw"]["bn"]))
+            h = _bn_apply(_conv_f32(track(f"b{i}.project", h),
+                                    blk["project"]["w"]), blk["project"]["bn"])
+            if strides[i] == 1 and identity.shape == h.shape:
+                h = h + identity
+            out = h
+        out = _relu6(_bn_apply(_conv_f32(track("head", out), params["head"]["w"]),
+                               params["head"]["bn"]))
+        out = jnp.mean(out, axis=(1, 2))
+        track("fc", out)
+        return caps
+
+    maxima = {}
+    for x in batches:
+        caps = site_absmax(params, x)
+        for k, v in caps.items():
+            maxima[k] = jnp.maximum(maxima[k], v) if k in maxima else v
+    return {k: jnp.maximum(v, 1e-12) / qmax for k, v in maxima.items()}
+
+
+def apply_quantized_int8chain(qparams, x, act_scales,
+                              cfg: MobileNetV2Config = MOBILENET_V2, *,
+                              act_dtype=jnp.bfloat16, backend: str = "auto",
+                              interpret: bool = False):
+    """Fully int8-chained MobileNet-V2: expand/dw/project consume and emit
+    int8 at the consumer's calibrated scale; the linear-project residual add
+    runs in int16 with clip to [-127,127] (no relu - project is linear).
+    relu6's upper clamp is subsumed by the requant clip: calibrated
+    post-relu6 scales satisfy 6/s >= 127."""
+    from lowbitdnn_project_tpu.quant import QTensor, quantize
+
+    s = act_scales
+    nblocks = len(qparams["blocks"])
+
+    def qc(x_q, p, out_scale, relu, stride=1, padding=0, groups=1):
+        return qconv2d(x_q, p.weight, p.bias, stride=stride, padding=padding,
+                       groups=groups, relu=relu, out_scale=out_scale,
+                       out_dtype=act_dtype, backend=backend,
+                       interpret=interpret)
+
+    def rescale(x_q, new_scale):
+        r = jnp.round(x_q.values.astype(jnp.float32) * (x_q.scale / new_scale))
+        return QTensor(values=jnp.clip(r, -127, 127).astype(jnp.int8),
+                       scale=new_scale)
+
+    def block_in_site(i):
+        if i < nblocks:
+            blk = qparams["blocks"][i]
+            return f"b{i}.expand" if "expand" in blk else f"b{i}.dw"
+        return "head"
+
+    strides = block_strides(cfg)
+    x_q = quantize(x, scale=s["stem"])
+    x_q = qc(x_q, qparams["stem"], s[block_in_site(0)], relu=True,
+             stride=2, padding=1)
+    for i, blk in enumerate(qparams["blocks"]):
+        s_out = s[block_in_site(i + 1)]
+        h = x_q
+        if "expand" in blk:
+            h = qc(h, blk["expand"], s[f"b{i}.dw"], relu=True)
+        cmid = h.shape[-1]
+        h = qc(h, blk["dw"], s[f"b{i}.project"], relu=True,
+               stride=strides[i], padding=1, groups=cmid)
+        residual = (strides[i] == 1 and
+                    x_q.shape[-1] == blk["project"].weight.shape[-1])
+        h = qc(h, blk["project"], s_out, relu=False)
+        if residual:
+            identity = rescale(x_q, s_out)
+            sum16 = (h.values.astype(jnp.int16)
+                     + identity.values.astype(jnp.int16))
+            h = QTensor(values=jnp.clip(sum16, -127, 127).astype(jnp.int8),
+                        scale=s_out)
+        x_q = h
+    x_q = qc(x_q, qparams["head"], None, relu=True)
+    # head emits float (relu6 upper clamp applied here), then pool + fc
+    feat = jnp.mean(jnp.minimum(x_q, 6.0).astype(jnp.float32), axis=(1, 2))
+    f_q = quantize(feat, scale=s["fc"])
+    return qlinear(f_q, qparams["fc"].weight, qparams["fc"].bias,
+                   backend=backend, interpret=interpret)
+
+
 def apply_quantized(qparams, x, cfg: MobileNetV2Config = MOBILENET_V2, *,
                     backend: str = "auto", interpret: bool = False):
+    strides = block_strides(cfg)
     qc = functools.partial(_qconv_relu6, backend=backend, interpret=interpret)
     out = qc(x, qparams["stem"], stride=2, padding=1)
-    for blk in qparams["blocks"]:
+    for i, blk in enumerate(qparams["blocks"]):
         identity = out
         h = out
         if "expand" in blk:
             h = qc(h, blk["expand"])
         cmid = h.shape[-1]
         # depthwise: XLA/VPU path (groups == channels, no MXU work)
-        h = qc(h, blk["dw"], stride=blk["stride"], padding=1, groups=cmid,
+        h = qc(h, blk["dw"], stride=strides[i], padding=1, groups=cmid,
                backend="xla")
         h = qc(h, blk["project"], relu6=False)
-        if blk["stride"] == 1 and identity.shape == h.shape:
+        if strides[i] == 1 and identity.shape == h.shape:
             h = h + identity
         out = h
     out = qc(out, qparams["head"])

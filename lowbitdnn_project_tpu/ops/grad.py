@@ -1,0 +1,92 @@
+"""Quantized training conv: custom VJP with int8 backward passes.
+
+Reference parity: _QConv2d.backward (python/qtorch/nn/functional/qconv2d.py:73-116)
+expresses both gradients as *convolutions of quantized tensors*:
+  grad_input  = conv(quantize(grad_out), rot180(w)ᵀ)   (qconv2d.py:105-114;
+                CUDA twin conv2DBackwardData3x3.cuh:61-64 rotated kernel,
+                flipped padding kh-1-ph at :126-127)
+  grad_weight = conv(xᵀ, grad_outᵀ) correlation        (qconv2d.py:91-103;
+                CUDA twin conv2DBackwardWeights3x3.cuh:21-100)
+The reference's tests show int8 gradients track float gradients closely
+(tests/main.py:54-66). Here the same scheme rides jax.custom_vjp: forward is
+the int8 conv with fused epilogue; backward re-quantizes the cotangent and
+runs two int8 convs with int32 accumulation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lowbitdnn_project_tpu.ops.conv import DIMSPEC, conv2d_int32
+from lowbitdnn_project_tpu.quant.quantize import compute_scale
+
+
+def _quant(x: jax.Array, axis=None):
+    s = jax.lax.stop_gradient(compute_scale(x, axis=axis))
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def make_qconv2d_train(padding: int = 1, quantized_grads: bool = True):
+    """Build a differentiable stride-1 quantized conv:
+    fn(x_f32 NHWC, w_f32 HWIO) -> f32 NHWC.
+
+    quantized_grads=True runs the reference's int8 backward scheme;
+    False keeps the straight-through float backward (pure STE).
+    """
+
+    def fwd_value(x, w):
+        xq, xs = _quant(x)
+        wq, ws = _quant(w, axis=3)
+        acc = conv2d_int32(xq, wq, (1, 1), (padding, padding))
+        return acc.astype(jnp.float32) * (xs * ws.reshape(1, 1, 1, -1))
+
+    @jax.custom_vjp
+    def qconv(x, w):
+        return fwd_value(x, w)
+
+    def qconv_fwd(x, w):
+        return fwd_value(x, w), (x, w)
+
+    def qconv_bwd(res, g):
+        x, w = res
+        kh, kw, _, _ = w.shape
+        if quantized_grads:
+            # every backward operand is quantized first (qconv2d.py:81),
+            # then the grads are convolutions of those quantized tensors
+            gq8, gs = _quant(g)
+            xq, xs = _quant(x)
+            wq, ws = _quant(w, axis=3)
+            # grad_input: conv of quantized grad with the 180°-rotated
+            # quantized kernel, channels swapped, padding flipped to k-1-p
+            gx = jax.lax.conv_general_dilated(
+                gq8.astype(jnp.float32) * gs,
+                (wq.astype(jnp.float32) * ws)[::-1, ::-1].transpose(0, 1, 3, 2),
+                (1, 1), ((kh - 1 - padding, kh - 1 - padding),
+                         (kw - 1 - padding, kw - 1 - padding)),
+                dimension_numbers=DIMSPEC)
+            # grad_weight: correlation x ⋆ g as a conv with batch contracted
+            xt = (xq.astype(jnp.float32) * xs).transpose(3, 1, 2, 0)
+            gt = (gq8.astype(jnp.float32) * gs).transpose(1, 2, 0, 3)
+            gw = jax.lax.conv_general_dilated(
+                xt, gt, (1, 1), ((padding, padding), (padding, padding)),
+                dimension_numbers=DIMSPEC)                   # (C, KH, KW, K)
+            gw = gw.transpose(1, 2, 0, 3)
+        else:
+            gx = jax.lax.conv_general_dilated(
+                g, w[::-1, ::-1].transpose(0, 1, 3, 2), (1, 1),
+                ((kh - 1 - padding, kh - 1 - padding),
+                 (kw - 1 - padding, kw - 1 - padding)),
+                dimension_numbers=DIMSPEC)
+            xt = x.transpose(3, 1, 2, 0)
+            gt = g.transpose(1, 2, 0, 3)
+            gw = jax.lax.conv_general_dilated(
+                xt, gt, (1, 1), ((padding, padding), (padding, padding)),
+                dimension_numbers=DIMSPEC).transpose(1, 2, 0, 3)
+        return gx, gw
+
+    qconv.defvjp(qconv_fwd, qconv_bwd)
+    return qconv
