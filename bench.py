@@ -26,7 +26,7 @@ def main():
     )
 
     cfg = resnet.RESNET50
-    batch = 32
+    batch = 128
     params = jax.jit(lambda k: resnet.init_params(k, cfg))(jax.random.key(0))
     qparams = jax.jit(lambda p: resnet.quantize_params(p, cfg))(params)
     import numpy as np
@@ -34,7 +34,7 @@ def main():
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch, 224, 224, 3)),
         jnp.float32)
-    act_scales = resnet.calibrate_act_scales(params, [x], cfg)
+    act_scales = resnet.calibrate_act_scales(params, [x[:8]], cfg)
 
     def int8_step(carry):
         logits = resnet.apply_quantized_int8chain(
