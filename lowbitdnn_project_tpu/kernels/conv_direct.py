@@ -72,8 +72,8 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_scale_ref, out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kh", "kw", "relu", "requant", "out_dtype", "bh", "bk",
-                     "interpret"),
+    static_argnames=("kh", "kw", "padding", "relu", "requant", "out_dtype",
+                     "bh", "bk", "interpret"),
 )
 def conv2d_direct_int8(
     x: jax.Array,                # (N, H, W, C) int8, NOT padded

@@ -144,7 +144,12 @@ def qconv2d(
       out_scale: if given, requantize the output with this scale and return
         an int8 QTensor ("internal"/pure-int8 mode); else return float
         ("external" mode). Matches the reference's two output configs.
-      backend: "auto" | "gemm" (Pallas) | "xla".
+      backend: "auto" | "xla" | "gemm" (Pallas im2col GEMM) | "direct"
+        (Pallas implicit-GEMM conv, stride 1, C%128==0) | "winograd"
+        (fused Pallas F(2x2,3x3), stride 1 pad 1, even H/W, C%128==0).
+        "auto" picks XLA — measured fastest for standard convs on v5e
+        (330-440 TOPS); the Pallas backends exist for shapes/fusions XLA
+        cannot express and as tuning surfaces.
     """
     stride, padding, dilation = _pair(stride), _pair(padding), _pair(dilation)
     kh, kw, wc, k = w_q.shape
@@ -159,11 +164,35 @@ def qconv2d(
     requant = out_scale is not None
 
     if backend == "auto":
-        on_tpu = jax.default_backend() not in ("cpu",)
-        use_gemm = on_tpu and groups == 1
-        backend = "gemm" if use_gemm else "xla"
+        # XLA's TPU conv emitters measured at/near speed-of-light for the
+        # standard shapes; route there by default (see bench/ sweeps)
+        backend = "xla"
 
-    if backend == "gemm":
+    if backend == "direct":
+        from lowbitdnn_project_tpu.kernels.conv_direct import conv2d_direct_int8
+
+        if groups != 1 or stride != (1, 1) or dilation != (1, 1):
+            raise NotImplementedError("direct path: stride/dilation/groups")
+        if kh != kw or padding[0] != padding[1]:
+            raise NotImplementedError("direct path: square kernel/padding")
+        out = conv2d_direct_int8(
+            x_q.values, w_q.values, scale, bias, out_scale,
+            kh=kh, kw=kw, padding=padding[0], relu=relu, requant=requant,
+            out_dtype=out_dtype, interpret=interpret)
+    elif backend == "winograd":
+        from lowbitdnn_project_tpu.kernels.winograd_fused import (
+            conv3x3_winograd_fused)
+        from lowbitdnn_project_tpu.ops.winograd import wino_quantize_filter
+
+        if (kh, kw) != (3, 3) or stride != (1, 1) or padding != (1, 1) \
+                or groups != 1 or dilation != (1, 1):
+            raise NotImplementedError("winograd path: 3x3 s1 p1 only")
+        u, us = wino_quantize_filter(w_q, mode="int8")
+        out = conv3x3_winograd_fused(
+            x_q.values, u, us, x_q.scale, bias, out_scale,
+            relu=relu, requant=requant, out_dtype=out_dtype,
+            interpret=interpret)
+    elif backend == "gemm":
         if groups != 1:
             raise NotImplementedError("gemm path: groups must be 1")
         if (kh, kw) == (1, 1) and stride == (1, 1) and padding == (0, 0):

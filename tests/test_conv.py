@@ -136,3 +136,25 @@ def test_qmax_pool_matches_float(rng):
     want = np.max(
         xf.reshape(2, 4, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4, 5), axis=(3, 4))
     np.testing.assert_allclose(np.asarray(got.dequantize()), want)
+
+
+def test_backend_direct_matches_xla(rng):
+    n, c, k, h, w = 1, 128, 128, 8, 8
+    x = _qt(rng.integers(-50, 51, size=(n, h, w, c)), scale=0.1)
+    wt = _qt(rng.integers(-50, 51, size=(3, 3, c, k)), scale=0.02, axis=3)
+    got = qconv2d(x, wt, stride=1, padding=1, relu=True, backend="direct",
+                  interpret=True)
+    want = qconv2d(x, wt, stride=1, padding=1, relu=True, backend="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_backend_winograd_tracks_xla(rng):
+    n, c, k, h, w = 1, 128, 128, 8, 8
+    x = _qt(rng.integers(-50, 51, size=(n, h, w, c)), scale=0.1)
+    wt = _qt(rng.integers(-50, 51, size=(3, 3, c, k)), scale=0.02, axis=3)
+    got = qconv2d(x, wt, stride=1, padding=1, backend="winograd",
+                  interpret=True)
+    want = qconv2d(x, wt, stride=1, padding=1, backend="xla")
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.06, rel
