@@ -158,3 +158,30 @@ def test_backend_winograd_tracks_xla(rng):
     want = qconv2d(x, wt, stride=1, padding=1, backend="xla")
     rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
     assert rel < 0.06, rel
+
+
+def test_direct_v2_matches_oracle(rng):
+    from lowbitdnn_project_tpu.kernels.conv_direct2 import conv2d_direct_v2
+
+    x = jnp.asarray(rng.integers(-50, 51, (2, 8, 8, 128)), jnp.int8)
+    w = jnp.asarray(rng.integers(-50, 51, (3, 3, 128, 64)), jnp.int8)
+    s = jnp.full((64,), 0.01, jnp.float32)
+    got = conv2d_direct_v2(x, w, s, relu=True, bh=4, interpret=True)
+    want = jnp.maximum(
+        conv2d_int32(x, w, (1, 1), (1, 1)).astype(jnp.float32) * s, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_dilated_conv_matches_oracle(rng):
+    """Dilation support — the reference marks dilation != 1 xfail
+    (conftest.py:36); here it works via rhs_dilation."""
+    x = rng.integers(-20, 21, (1, 10, 10, 4)).astype(np.int8)
+    w = rng.integers(-20, 21, (3, 3, 4, 8)).astype(np.int8)
+    got = np.asarray(conv2d_int32(jnp.asarray(x), jnp.asarray(w),
+                                  (1, 1), (2, 2), dilation=(2, 2)))
+    # numpy oracle with dilation: insert zeros into the kernel
+    wd = np.zeros((5, 5, 4, 8), np.int8)
+    wd[::2, ::2] = w
+    want = ref_conv2d_int32(x, wd, (1, 1), (2, 2))
+    np.testing.assert_array_equal(got, want)
