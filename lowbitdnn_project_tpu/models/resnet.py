@@ -251,6 +251,7 @@ def apply_quantized_int8chain(
     cfg: ResNetConfig = RESNET18,
     *,
     act_dtype=jnp.bfloat16,
+    add_domain: str = "float",
     backend: str = "auto",
     interpret: bool = False,
 ) -> jax.Array:
@@ -261,10 +262,12 @@ def apply_quantized_int8chain(
     pure-int8 "internal" pipeline (df-optimization/Int8Conv2d.py forward
     takes & returns scale), upgraded with static calibration. Only block
     boundaries (residual add + relu) run in float, then requantize.
-    Residual adds run in the int8 domain: both operands are requantized to
-    the consumer's scale in their conv epilogues (the skip path by a fused
-    int8->int8 rescale), summed in int16, clipped to [0, 127] (the clamp IS
-    the relu). Requires act_scales from calibrate_act_scales.
+    Residual adds: add_domain="float" (default, measured faster — XLA fuses
+    the bf16 add+relu+requant chain into conv3's epilogue) keeps the skip
+    connection in float; "int8" requantizes both operands to the consumer
+    scale in the conv epilogues and sums in int16 with clip-as-relu
+    (reference-style pure-int8 pipeline). Requires act_scales from
+    calibrate_act_scales.
     """
     from lowbitdnn_project_tpu.quant import quantize
     from lowbitdnn_project_tpu.quant.qtensor import QTensor
@@ -299,24 +302,32 @@ def apply_quantized_int8chain(
             stride = 2 if (st > 0 and i == 0) else 1
             pre = f"layer{st + 1}.{i}"
             s_out = s[next_site(st, i)]
+            last_scale = s_out if add_domain == "int8" else None
             if cfg.bottleneck:
                 h = qc(x_q, blk["conv1"], relu=True, out_scale=s[f"{pre}.conv2"])
                 h = qc(h, blk["conv2"], relu=True, out_scale=s[f"{pre}.conv3"],
                        stride=stride, padding=1)
-                h = qc(h, blk["conv3"], relu=False, out_scale=s_out)
+                h = qc(h, blk["conv3"], relu=False, out_scale=last_scale)
             else:
                 h = qc(x_q, blk["conv1"], relu=True,
                        out_scale=s[f"{pre}.conv2"], stride=stride, padding=1)
-                h = qc(h, blk["conv2"], relu=False, padding=1, out_scale=s_out)
+                h = qc(h, blk["conv2"], relu=False, padding=1,
+                       out_scale=last_scale)
             if "downsample" in blk:
                 identity = qc(x_q, blk["downsample"], relu=False,
-                              stride=stride, out_scale=s_out)
-            else:
+                              stride=stride, out_scale=last_scale)
+            elif add_domain == "int8":
                 identity = rescale(x_q, s_out)
-            sum16 = (h.values.astype(jnp.int16)
-                     + identity.values.astype(jnp.int16))
-            x_q = QTensor(values=jnp.clip(sum16, 0, 127).astype(jnp.int8),
-                          scale=s_out)
+            else:
+                identity = x_q.dequantize().astype(act_dtype)
+            if add_domain == "int8":
+                sum16 = (h.values.astype(jnp.int16)
+                         + identity.values.astype(jnp.int16))
+                x_q = QTensor(values=jnp.clip(sum16, 0, 127).astype(jnp.int8),
+                              scale=s_out)
+            else:
+                out_f = jnp.maximum(h + identity, 0.0)
+                x_q = quantize(out_f, scale=s_out)
     feat = jnp.mean(x_q.values.astype(jnp.float32), axis=(1, 2)) * x_q.scale
     x_fc = quantize(feat, scale=s["fc"])
     return qlinear(x_fc, qparams["fc"].weight, qparams["fc"].bias,
