@@ -46,10 +46,11 @@ class KernelCost:
 
 def matmul_cost(m: int, k: int, n: int, a_bytes=1, b_bytes=1, out_bytes=4
                 ) -> KernelCost:
+    # byte widths may be fractional (e.g. 0.5 for nibble-packed int4)
     return KernelCost(
         flops=2 * m * k * n,
-        bytes_in=m * k * a_bytes + k * n * b_bytes,
-        bytes_out=m * n * out_bytes,
+        bytes_in=int(m * k * a_bytes + k * n * b_bytes),
+        bytes_out=int(m * n * out_bytes),
     )
 
 

@@ -117,8 +117,15 @@ def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
         w = _rand_int8(rng, (k, k, cin, cout))
         scale = jnp.full((1, 1, 1, cout), 0.01, jnp.float32)
         oh = (hw + 2 * pad - k) // stride + 1
-        cost = conv_cost(b, oh, oh, k, k, cin, cout, hw, hw)
         for cfg in configs:
+            # score each config against ITS dtype's roofline
+            if cfg["dtype"] == "bf16":
+                cost = conv_cost(b, oh, oh, k, k, cin, cout, hw, hw,
+                                 a_bytes=2, w_bytes=2, out_bytes=2)
+                sol_dtype = "bf16"
+            else:
+                cost = conv_cost(b, oh, oh, k, k, cin, cout, hw, hw)
+                sol_dtype = "int8"
             built = _conv_step(cfg["name"], x, w, stride, pad, scale)
             if built is None:
                 continue
@@ -135,7 +142,8 @@ def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
                        hw=hw, cin=cin, cout=cout, k=k, stride=stride,
                        time_us=round(t * 1e6, 2),
                        tops=round(cost.flops / t / 1e12, 1),
-                       roofline_pct=round(roofline_pct(t, cost, chip), 1))
+                       roofline_pct=round(
+                           roofline_pct(t, cost, chip, sol_dtype), 1))
             results.append(rec)
             print(rec)
     return results
@@ -155,7 +163,12 @@ def run_gemm_grid(exp, configs, repeats, seed=0):
         w8 = _rand_int8(rng, (k, n))
         w4 = jnp.asarray(np.asarray(w8) % 15 - 7, jnp.int8)
         s = jnp.full((n,), 0.01, jnp.float32)
-        cost = matmul_cost(m, k, n)
+        costs = {
+            "int8_xla": matmul_cost(m, k, n),
+            "int8_pallas_gemm": matmul_cost(m, k, n),
+            # w4a8 streams nibble-packed weights: K*N/2 bytes
+            "w4a8_pallas": matmul_cost(m, k, n, b_bytes=0.5),
+        }
         steps = {
             "int8_xla": (lambda c: _chain_int(c, int8_matmul_xla(c, w8, s)), a),
             "int8_pallas_gemm": (
@@ -168,6 +181,7 @@ def run_gemm_grid(exp, configs, repeats, seed=0):
             if cfg["name"] not in steps:
                 continue
             step, init = steps[cfg["name"]]
+            cost = costs[cfg["name"]]
             try:
                 t = chained_device_time(step, init, lo=repeats["lo"],
                                         hi=repeats["hi"])

@@ -135,6 +135,10 @@ def conv3x3_winograd_fused(
     n, h, w, c = x.shape
     _, c_, k = u.shape
     assert c_ == c and h % 2 == 0 and w % 2 == 0, (x.shape,)
+    if not v_int8 and c > 3698:
+        # exact mode: per-channel |V|*|U| <= 508*1143; int32 accumulation
+        # over C could overflow beyond this
+        raise ValueError(f"int16 winograd mode exact only for C<=3698, got {c}")
 
     bh = min(bh, h)
     while h % bh or bh % 2:

@@ -144,8 +144,9 @@ def quantize_params(params, cfg: MobileNetV2Config = MOBILENET_V2, bits: int = 8
     qp: Dict[str, Any] = {"stem": qc(params["stem"])}
     qblocks = []
     for blk in params["blocks"]:
-        qblk = {"stride": blk["stride"], "dw": qc(blk["dw"]),
-                "project": qc(blk["project"])}
+        # NB: no 'stride' key — strides are static config (block_strides);
+        # storing them in the pytree reintroduces the traced-stride hazard
+        qblk = {"dw": qc(blk["dw"]), "project": qc(blk["project"])}
         if "expand" in blk:
             qblk["expand"] = qc(blk["expand"])
         qblocks.append(qblk)

@@ -12,6 +12,11 @@ from lowbitdnn_project_tpu.ops.pool import (
     max_pool2d,
     qmax_pool2d,
 )
+from lowbitdnn_project_tpu.ops.winograd import (
+    qconv2d_winograd,
+    wino_quantize_filter,
+)
+from lowbitdnn_project_tpu.ops.grad import make_qconv2d_train
 
 __all__ = [
     "conv2d_int32",
@@ -22,4 +27,7 @@ __all__ = [
     "max_pool2d",
     "avg_pool2d",
     "global_avg_pool2d_int32",
+    "qconv2d_winograd",
+    "wino_quantize_filter",
+    "make_qconv2d_train",
 ]

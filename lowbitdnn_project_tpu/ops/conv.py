@@ -133,6 +133,7 @@ def qconv2d(
     out_scale: Optional[jax.Array] = None,
     out_dtype=jnp.float32,
     backend: str = "auto",
+    wino_u: Optional[Tuple[jax.Array, jax.Array]] = None,
     interpret: bool = False,
 ) -> Union[jax.Array, QTensor]:
     """Quantized conv with fused dequant+bias+ReLU(+requant) epilogue.
@@ -187,7 +188,10 @@ def qconv2d(
         if (kh, kw) != (3, 3) or stride != (1, 1) or padding != (1, 1) \
                 or groups != 1 or dilation != (1, 1):
             raise NotImplementedError("winograd path: 3x3 s1 p1 only")
-        u, us = wino_quantize_filter(w_q, mode="int8")
+        # prefer pre-transformed weights (wino_u) — transforming here costs
+        # a full GgGt + absmax pass per forward call under jit
+        u, us = wino_u if wino_u is not None else \
+            wino_quantize_filter(w_q, mode="int8")
         out = conv3x3_winograd_fused(
             x_q.values, u, us, x_q.scale, bias, out_scale,
             relu=relu, requant=requant, out_dtype=out_dtype,

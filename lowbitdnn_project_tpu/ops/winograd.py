@@ -56,6 +56,10 @@ def wino_quantize_filter(
     """
     kh, kw, c, k = w_q.shape
     assert (kh, kw) == (3, 3), "Winograd path is 3x3 only"
+    # int16-exact mode accumulates |V|*|U| <= 508*1143 per channel in int32:
+    # C beyond ~3698 could overflow; guard the "exact" claim
+    if mode == "int16" and c > 3698:
+        raise ValueError(f"int16 winograd mode exact only for C<=3698, got {c}")
     if mode == "int16":
         # 4*G g Gᵀ is exactly integer for integer g (2G has integer entries)
         g2 = (2.0 * G)

@@ -40,7 +40,7 @@ def load() -> ctypes.CDLL:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
-        lib.refconv2d_int8.argtypes = [i8p, i8p, i32p] + [ctypes.c_int] * 11
+        lib.refconv2d_int8.argtypes = [i8p, i8p, i32p] + [ctypes.c_int] * 12
         lib.preprocess_quantize_u8.argtypes = [
             u8p, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, f32p, ctypes.c_float]

@@ -143,12 +143,17 @@ def simulated_annealing(
     history.update(energy, params)
     energies = [energy]
 
+    # restart re-warms the schedule by resetting the effective step counter
+    # (a pure schedule(t0, step) would go straight back below restart_temp
+    # and degenerate into restarting every iteration)
+    restart_at = 0
     for step in range(steps):
-        temp = schedule(t0, step)
+        temp = schedule(t0, step - restart_at)
         if temp < restart_temp:
             energy, best = history.best
             params = [jnp.copy(p) for p in best]
-            temp = t0
+            restart_at = step
+            temp = schedule(t0, 0)
         # subsets: each tensor individually, then all at once
         subsets = [[i] for i in range(len(params))] + [list(range(len(params)))]
         for subset in subsets:

@@ -23,8 +23,7 @@ from lowbitdnn_project_tpu.models.layers import QConvParams, QLinearParams
 _MANIFEST = "__manifest__.json"
 
 
-def _flatten(node: Any, path: str, arrays: Dict[str, np.ndarray],
-             manifest: Dict[str, Any]) -> Any:
+def _flatten(node: Any, path: str, arrays: Dict[str, np.ndarray]) -> Any:
     """Returns a JSON-able structure mirror; arrays go to ``arrays``."""
     if isinstance(node, QTensor):
         vals = np.asarray(node.values)
@@ -36,19 +35,19 @@ def _flatten(node: Any, path: str, arrays: Dict[str, np.ndarray],
                                 "packed": packed, "shape": list(vals.shape)}}
     if isinstance(node, QConvParams):
         return {"__qconv__": {
-            "weight": _flatten(node.weight, f"{path}.weight", arrays, manifest),
-            "bias": _flatten(node.bias, f"{path}.bias", arrays, manifest),
+            "weight": _flatten(node.weight, f"{path}.weight", arrays),
+            "bias": _flatten(node.bias, f"{path}.bias", arrays),
         }}
     if isinstance(node, QLinearParams):
         return {"__qlinear__": {
-            "weight": _flatten(node.weight, f"{path}.weight", arrays, manifest),
-            "bias": _flatten(node.bias, f"{path}.bias", arrays, manifest),
+            "weight": _flatten(node.weight, f"{path}.weight", arrays),
+            "bias": _flatten(node.bias, f"{path}.bias", arrays),
         }}
     if isinstance(node, dict):
-        return {"__dict__": {k: _flatten(v, f"{path}/{k}", arrays, manifest)
+        return {"__dict__": {k: _flatten(v, f"{path}/{k}", arrays)
                              for k, v in node.items()}}
     if isinstance(node, (list, tuple)):
-        return {"__list__": [_flatten(v, f"{path}[{i}]", arrays, manifest)
+        return {"__list__": [_flatten(v, f"{path}[{i}]", arrays)
                              for i, v in enumerate(node)],
                 "__tuple__": isinstance(node, tuple)}
     if node is None:
@@ -100,7 +99,7 @@ def save_quantized(path: str, tree: Any) -> None:
     """Save a (possibly nested) quantized parameter pytree to ``path``."""
     arrays: Dict[str, np.ndarray] = {}
     manifest: Dict[str, Any] = {}
-    spec = _flatten(jax.device_get(tree), "root", arrays, manifest)
+    spec = _flatten(jax.device_get(tree), "root", arrays)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_MANIFEST, json.dumps(spec))
         for key, arr in arrays.items():
