@@ -80,6 +80,17 @@ def _conv_step(cfg_name: str, x, w, stride, pad, scale):
             return None
         wq = QTensor(values=w, scale=jnp.asarray(0.05, jnp.float32))
         u, us = wino_quantize_filter(wq, mode="int8")
+        if x.shape[-1] % 128 == 0:
+            # fused Pallas kernel (transform domain stays in VMEM)
+            from lowbitdnn_project_tpu.kernels.winograd_fused import (
+                conv3x3_winograd_fused)
+
+            def step(c):
+                q = conv3x3_winograd_fused(
+                    c, u, us, jnp.asarray(0.1, jnp.float32),
+                    relu=True, out_scale=jnp.asarray(0.5), requant=True)
+                return _chain_int(c, q)
+            return step, x
 
         def step(c):
             q = qconv2d_winograd(

@@ -53,8 +53,10 @@ def chained_device_time(
 
     for iters in (lo, hi):      # compile + warm both variants
         timed(iters)
-    t_lo = min(timed(lo) for _ in range(reps))
-    t_hi = min(timed(hi) for _ in range(reps))
+    # median over reps: min-of-deltas can go negative under relay jitter
+    # (observed as 0.0us records) — median is robust to one bad sample
+    t_lo = sorted(timed(lo) for _ in range(reps))[reps // 2]
+    t_hi = sorted(timed(hi) for _ in range(reps))[reps // 2]
     return max((t_hi - t_lo) / (hi - lo), 1e-9)
 
 
