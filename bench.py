@@ -8,14 +8,39 @@ analogue of the reference's cuDNN-float-vs-int8 comparisons
 
 Timing uses chained on-device fori_loop iterations with scalar fetch
 (utils/timing.py) because host-side timing is unreliable through the relay.
+
+Cold-start economics: full-model compiles take minutes through this
+environment's remote-compile path, so (a) params are built on the CPU
+backend (no TPU compile), (b) calibration scales and the bf16 baseline are
+cached in bench_cache.json (committed; deterministic params from a fixed
+seed) — a cold run only compiles the int8 inference loop. Delete the cache
+file to force full re-measurement.
 """
 import json
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "bench_cache.json")
+BATCH = 128
+
+
+def build_model():
+    from lowbitdnn_project_tpu.models import resnet
+
+    cfg = resnet.RESNET50
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = resnet.init_params(jax.random.key(0), cfg)
+        qparams = resnet.quantize_params(params, cfg)
+    dev = jax.devices()[0]
+    return cfg, jax.device_put(params, dev), jax.device_put(qparams, dev)
 
 
 def main():
@@ -25,16 +50,21 @@ def main():
         chained_device_time,
     )
 
-    cfg = resnet.RESNET50
-    batch = 128
-    params = jax.jit(lambda k: resnet.init_params(k, cfg))(jax.random.key(0))
-    qparams = jax.jit(lambda p: resnet.quantize_params(p, cfg))(params)
-    import numpy as np
+    cfg, params, qparams = build_model()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)), jnp.float32)
 
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, 224, 224, 3)),
-        jnp.float32)
-    act_scales = resnet.calibrate_act_scales(params, [x[:8]], cfg)
+    cache = {}
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            cache = json.load(f)
+
+    if "act_scales" in cache:
+        act_scales = {k: jnp.asarray(v, jnp.float32)
+                      for k, v in cache["act_scales"].items()}
+    else:
+        act_scales = resnet.calibrate_act_scales(params, [x[:8]], cfg)
+        cache["act_scales"] = {k: float(v) for k, v in act_scales.items()}
 
     def int8_step(carry):
         logits = resnet.apply_quantized_int8chain(
@@ -42,20 +72,29 @@ def main():
         return chain_via_scalar(carry, logits)
 
     t_int8 = chained_device_time(int8_step, x, lo=5, hi=55)
+    ips_int8 = BATCH / t_int8
 
-    params_bf16 = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        params)
-    xb = x.astype(jnp.bfloat16)
+    if "bf16_img_s" in cache:
+        ips_bf16 = float(cache["bf16_img_s"])
+    else:
+        params_bf16 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params)
+        xb = x.astype(jnp.bfloat16)
 
-    def bf16_step(carry):
-        logits = resnet.apply_fp32(params_bf16, carry, cfg)
-        return chain_via_scalar(carry, logits)
+        def bf16_step(carry):
+            logits = resnet.apply_fp32(params_bf16, carry, cfg)
+            return chain_via_scalar(carry, logits)
 
-    t_bf16 = chained_device_time(bf16_step, xb, lo=5, hi=55)
+        ips_bf16 = BATCH / chained_device_time(bf16_step, xb, lo=5, hi=55)
+        cache["bf16_img_s"] = round(ips_bf16, 2)
 
-    ips_int8 = batch / t_int8
-    ips_bf16 = batch / t_bf16
+    try:
+        with open(_CACHE, "w") as f:
+            json.dump(cache, f)
+    except OSError:
+        pass
+
     print(json.dumps({
         "metric": "resnet50_int8_images_per_sec_per_chip",
         "value": round(ips_int8, 2),

@@ -40,15 +40,17 @@ def chained_device_time(
     ``step`` must be shape-preserving on its carry and cheap to chain.
     """
 
-    @functools.partial(jax.jit, static_argnames="iters")
+    @jax.jit
     def run_loop(init, iters):
+        # dynamic trip count: one compile serves every iteration count
+        # (cold-start cost matters — each compile is a full model graph)
         out = jax.lax.fori_loop(0, iters, lambda i, c: step(c), init)
         leaves = jax.tree_util.tree_leaves(out)
         return sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
 
     def timed(iters: int) -> float:
         t0 = time.perf_counter()
-        float(run_loop(init, iters))
+        float(run_loop(init, jnp.asarray(iters, jnp.int32)))
         return time.perf_counter() - t0
 
     for iters in (lo, hi):      # compile + warm both variants
