@@ -32,15 +32,23 @@ BATCH = 128
 
 
 def build_model():
+    """Build params + input ON DEVICE inside one jit: no host->device
+    weight transfer (the relay moves data at KB/s; a 100 MB device_put of
+    ResNet-50 params dominates wall clock), and the init executable is
+    small + persistent-cacheable."""
     from lowbitdnn_project_tpu.models import resnet
 
     cfg = resnet.RESNET50
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+
+    @jax.jit
+    def build():
         params = resnet.init_params(jax.random.key(0), cfg)
         qparams = resnet.quantize_params(params, cfg)
-    dev = jax.devices()[0]
-    return cfg, jax.device_put(params, dev), jax.device_put(qparams, dev)
+        x = jax.random.normal(jax.random.key(1), (BATCH, 224, 224, 3),
+                              jnp.float32)
+        return params, qparams, x
+
+    return (cfg, *build())
 
 
 def main():
@@ -50,9 +58,7 @@ def main():
         chained_device_time,
     )
 
-    cfg, params, qparams = build_model()
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)), jnp.float32)
+    cfg, params, qparams, x = build_model()
 
     cache = {}
     if os.path.exists(_CACHE):
@@ -66,12 +72,16 @@ def main():
         act_scales = resnet.calibrate_act_scales(params, [x[:8]], cfg)
         cache["act_scales"] = {k: float(v) for k, v in act_scales.items()}
 
-    def int8_step(carry):
+    # qparams/act_scales as jit ARGS, not closure constants: closed-over
+    # weights get embedded in the executable (98 MB measured round 1) and
+    # pushed through the relay on every cold run.
+    def int8_step(carry, qparams, act_scales):
         logits = resnet.apply_quantized_int8chain(
             qparams, carry, act_scales, cfg, backend="xla")
         return chain_via_scalar(carry, logits)
 
-    t_int8 = chained_device_time(int8_step, x, lo=5, hi=55)
+    t_int8 = chained_device_time(int8_step, x, lo=5, hi=55,
+                                 args=(qparams, act_scales))
     ips_int8 = BATCH / t_int8
 
     if "bf16_img_s" in cache:
@@ -82,11 +92,12 @@ def main():
             params)
         xb = x.astype(jnp.bfloat16)
 
-        def bf16_step(carry):
+        def bf16_step(carry, params_bf16):
             logits = resnet.apply_fp32(params_bf16, carry, cfg)
             return chain_via_scalar(carry, logits)
 
-        ips_bf16 = BATCH / chained_device_time(bf16_step, xb, lo=5, hi=55)
+        ips_bf16 = BATCH / chained_device_time(bf16_step, xb, lo=5, hi=55,
+                                               args=(params_bf16,))
         cache["bf16_img_s"] = round(ips_bf16, 2)
 
     try:

@@ -19,8 +19,9 @@ minor dimension). Three execution paths:
                (kernels/matmul_int8.py); the MXU fast path.
   * ``auto`` — gemm on TPU, xla elsewhere.
 Depthwise convs (feature_group_count == C) take the XLA path — they are
-VPU/bandwidth-bound, not MXU work (see kernels/depthwise.py for the
-dedicated kernel).
+VPU/bandwidth-bound, not MXU work; measured XLA int8 depthwise already sits
+at the VPU scalar-MAC roofline (~1.8 T op/s), so no dedicated kernel exists
+by design (see CLAUDE.md "Depthwise: CLOSED").
 """
 from __future__ import annotations
 
@@ -192,6 +193,12 @@ def qconv2d(
         # a full GgGt + absmax pass per forward call under jit
         u, us = wino_u if wino_u is not None else \
             wino_quantize_filter(w_q, mode="int8")
+        if u.dtype != jnp.int8:
+            # int16-mode U would be silently clipped to +-127 and scaled
+            # wrongly by the fused kernel (it assumes int8-mode U); fail loud
+            raise ValueError(
+                f"winograd backend needs wino_u from wino_quantize_filter("
+                f"mode='int8') (int8 U); got dtype {u.dtype}")
         out = conv3x3_winograd_fused(
             x_q.values, u, us, x_q.scale, bias, out_scale,
             relu=relu, requant=requant, out_dtype=out_dtype,

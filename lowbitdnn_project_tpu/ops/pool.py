@@ -71,7 +71,9 @@ def global_avg_pool2d_int32(x_q: QTensor) -> jax.Array:
     """
     n, h, w, c = x_q.shape
     acc = jnp.sum(x_q.values.astype(jnp.int32), axis=(1, 2))
-    return acc.astype(jnp.float32) * x_q.scale / (h * w)
+    # scale_vector(): () per-tensor or (C,) per-channel — both broadcast
+    # correctly against the (N, C) sum (a raw (1,1,1,C) scale would not).
+    return acc.astype(jnp.float32) * x_q.scale_vector() / (h * w)
 
 
 def avg_pool2d(x: jax.Array, ksize=2, stride=None, padding=0) -> jax.Array:

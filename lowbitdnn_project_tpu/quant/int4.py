@@ -6,9 +6,11 @@ so int4 is a *storage/bandwidth* format: weights live packed in HBM (halving
 weight bytes — the win for bandwidth-bound layers) and are unpacked to int8
 on the fly (in-kernel via bit ops on the VPU, or by XLA for the fallback path).
 
-Packing convention: values in [-7, 7] are biased to [1, 15] nibbles
-(0 unused) pairwise along the LAST axis: byte = (hi << 4) | lo where lo is the
-even element, hi the odd. The last axis length must be even.
+Packing convention: values in [-8, 7] are stored as plain two's-complement
+nibbles (0x0 = 0, 0x8 = -8, 0xF = -1) pairwise along the LAST axis:
+byte = (hi << 4) | lo where lo is the even element, hi the odd. The last
+axis length must be even. The C++ runtime and checkpoint reader use the
+same encoding.
 """
 from __future__ import annotations
 

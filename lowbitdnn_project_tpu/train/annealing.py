@@ -29,7 +29,10 @@ import numpy as np
 # ---------------------------------------------------------------- schedules
 
 def linear_schedule(t0: float, step: int, rate: float = 0.99) -> float:
-    """temperature.py:7-9 — geometric decay."""
+    """Geometric decay t0*rate^step — REPLACES the reference's
+    linear_schedule (temperature.py:7-9, t0/step): t0/step collapses by 50%
+    after one step on integer-weight proposals; geometric decay keeps early
+    exploration alive. Deliberate redesign, not a port."""
     return t0 * (rate ** step)
 
 
@@ -49,8 +52,11 @@ def gsa_schedule(t0: float, step: int, qv: float = 2.62) -> float:
 
 def fast_annealing_visit(key, x: jax.Array, temp: float,
                          qmax: int = 127) -> jax.Array:
-    """annealing.py:13-20 — Cauchy-like visiting distribution on int weights:
-    x' = round(x + temp * tan(pi*(u - 1/2))), clamped to the int range."""
+    """Cauchy visiting distribution on int weights:
+    x' = round(x + temp * tan(pi*(u - 1/2))), clamped to the int range.
+    Fills the role of the reference's fast_annealing (annealing.py:13-20),
+    which uses a pow-based step — tan-Cauchy is the standard FSA visit and
+    vectorizes cleanly on the VPU; a redesign, not a port."""
     u = jax.random.uniform(key, x.shape, jnp.float32)
     step = temp * jnp.tan(jnp.pi * (u - 0.5))
     prop = jnp.round(x.astype(jnp.float32) + step)
@@ -59,8 +65,9 @@ def fast_annealing_visit(key, x: jax.Array, temp: float,
 
 def generalized_annealing_visit(key, x: jax.Array, temp: float,
                                 qv: float = 2.62, qmax: int = 127) -> jax.Array:
-    """annealing.py:23-58 — GSA visiting distribution (heavy-tailed),
-    implemented via the standard Tsallis visiting sampler."""
+    """Heavy-tailed GSA-style visiting step (standard Tsallis ratio
+    sampler). Fills the role of the reference's generalized_annealing
+    (annealing.py:23-58) without reproducing its exact distribution."""
     k1, k2 = jax.random.split(key)
     factor = (qv - 1.0)
     gauss = jax.random.normal(k1, x.shape, jnp.float32)
@@ -75,7 +82,9 @@ def generalized_annealing_visit(key, x: jax.Array, temp: float,
 # ------------------------------------------------------------- acceptance
 
 def metropolis_acceptance(delta: float, temp: float, step: int) -> float:
-    """acceptance.py:8-12 — exp(-delta/T), 1 if improving."""
+    """Classic Metropolis exp(-delta/T), 1 if improving. The reference's
+    metropolis (acceptance.py:8-12) uses the logistic 1/(1+exp(delta/T));
+    this uses the textbook rule — same role, different formula."""
     if delta <= 0:
         return 1.0
     return math.exp(-delta / max(temp, 1e-12))
