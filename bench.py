@@ -18,10 +18,21 @@ file to force full re-measurement.
 """
 import json
 import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _mark(msg):
+    # phase timestamps on stderr: visible when run by hand, invisible to the
+    # driver's JSON-line parse (stdout)
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -58,7 +69,9 @@ def main():
         chained_device_time,
     )
 
+    _mark("imports done")
     cfg, params, qparams, x = build_model()
+    _mark("model built")
 
     cache = {}
     if os.path.exists(_CACHE):
@@ -80,9 +93,11 @@ def main():
             qparams, carry, act_scales, cfg, backend="xla")
         return chain_via_scalar(carry, logits)
 
+    _mark("calibration ready")
     t_int8 = chained_device_time(int8_step, x, lo=5, hi=55,
                                  args=(qparams, act_scales))
     ips_int8 = BATCH / t_int8
+    _mark("int8 measured")
 
     if "bf16_img_s" in cache:
         ips_bf16 = float(cache["bf16_img_s"])

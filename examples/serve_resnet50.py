@@ -1,10 +1,15 @@
 """End-to-end INT8 serving example: native host preprocessing -> calibrated
-int8-chained ResNet-50 -> logits; optionally saves/loads the quantized
-checkpoint. The full deployment flow a reference user would assemble from
-qtorch + cuDNN, on TPU.
+int8-chained ResNet-50 -> logits, with a micro-batching serving loop;
+optionally saves/loads the quantized checkpoint. The full deployment flow a
+reference user would assemble from qtorch + cuDNN, on TPU.
+
+The preprocessed int8 tensor is fed to the model AS INT8 (a QTensor at the
+calibrated conv1 scale) — no float round-trip at the serving boundary.
 
 Run: python examples/serve_resnet50.py
 """
+import queue
+import threading
 import time
 
 import jax
@@ -12,11 +17,72 @@ import jax.numpy as jnp
 import numpy as np
 
 from lowbitdnn_project_tpu.models import resnet
+from lowbitdnn_project_tpu.quant.qtensor import QTensor
 from lowbitdnn_project_tpu.runtime import preprocess_quantize
 from lowbitdnn_project_tpu.utils import load_quantized, save_quantized
 
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+class MicroBatchServer:
+    """Tiny production-shaped serving loop: requests land in a queue, a
+    worker drains up to ``max_batch`` of them, pads to the compiled batch
+    size, runs ONE int8 forward, and fans logits back out to the callers.
+
+    The reference's serving story is "call the int8 op per request"
+    (df-optimization/Int8Conv2d.py); batching is how that becomes a
+    deployment on an MXU-based chip — padding to a fixed batch keeps a
+    single compiled executable (no dynamic shapes under jit).
+    """
+
+    def __init__(self, infer, qparams, in_scale, max_batch=8,
+                 max_wait_ms=2.0):
+        self.infer = infer
+        self.qparams = qparams
+        self.in_scale = jnp.float32(in_scale)
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, x_int8: np.ndarray) -> "queue.Queue":
+        """x_int8: (224, 224, 3) int8 preprocessed image -> result queue."""
+        out: "queue.Queue" = queue.Queue(1)
+        self.q.put((x_int8, out))
+        return out
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            xs = np.stack([b[0] for b in batch])
+            pad = self.max_batch - len(batch)
+            if pad:
+                xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:],
+                                                  xs.dtype)])
+            x_q = QTensor(values=jnp.asarray(xs), scale=self.in_scale)
+            logits = np.asarray(self.infer(self.qparams, x_q))
+            for (_, out), row in zip(batch, logits):
+                out.put(row)
+
+    def shutdown(self):
+        self._stop.set()
+        self.thread.join()
 
 
 def main():
@@ -46,13 +112,25 @@ def main():
     t0 = time.perf_counter()
     x_int8 = preprocess_quantize(raw, IMAGENET_MEAN, IMAGENET_STD, in_scale)
     t1 = time.perf_counter()
-    # the int8-chain entry quantizes floats itself; feed dequantized-normalized
-    x = jnp.asarray(x_int8, jnp.float32) * in_scale
-    logits = infer(qparams, x)
+    # int8 feeds the chain directly as a QTensor — no float round-trip
+    x_q = QTensor(values=jnp.asarray(x_int8), scale=jnp.float32(in_scale))
+    logits = infer(qparams, x_q)
     top1 = np.asarray(jnp.argmax(logits, -1))
     print(f"host preprocess: {1000 * (t1 - t0):.1f} ms for 32 imgs "
           f"(C++ OpenMP)")
     print(f"logits {logits.shape}, top-1 of first 8: {top1[:8]}")
+
+    # --- micro-batching serving loop (batch 8, 2 ms batching window) ---
+    server = MicroBatchServer(infer, qparams, in_scale, max_batch=8)
+    t0 = time.perf_counter()
+    futures = [server.submit(np.asarray(x_int8[i])) for i in range(16)]
+    rows = [f.get(timeout=120) for f in futures]
+    t1 = time.perf_counter()
+    server.shutdown()
+    top1_served = [int(np.argmax(r)) for r in rows]
+    assert top1_served == list(top1[:16]), "served logits != direct logits"
+    print(f"serving loop: 16 requests in {1000 * (t1 - t0):.1f} ms "
+          f"(micro-batch 8), top-1 agrees with the direct forward")
 
 
 if __name__ == "__main__":

@@ -209,6 +209,96 @@ def run_gemm_grid(exp, configs, repeats, seed=0):
     return results
 
 
+def run_backward_grid(exp, repeats, seed=0):
+    """Forward vs forward+backward conv timing, int8 vs float gradients —
+    the reference's backward benchmark (python/benchmark_backward.py:17-116)
+    re-expressed: both backward convs run as real int8 convs here
+    (ops/grad.py), so this measures the int8-backward claim directly."""
+    from lowbitdnn_project_tpu.ops.grad import make_qconv2d_train
+
+    rng = np.random.default_rng(seed)
+    results = []
+    for b, hw, cin, cout in itertools.product(
+            exp["batch"], exp["spatial"], exp["channels"], exp["filters"]):
+        x = jnp.asarray(rng.normal(size=(b, hw, hw, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05,
+                        jnp.float32)
+        for qg, name in ((True, "int8_bwd"), (False, "float_bwd")):
+            qconv = make_qconv2d_train(padding=1, quantized_grads=qg)
+
+            def fwd_step(c, w):
+                out = qconv(c, w)
+                return c + (jnp.sum(out) * 0).astype(c.dtype)
+
+            def fwdbwd_step(c, w):
+                out, vjp = jax.vjp(qconv, c, w)
+                gx, gw = vjp(out)
+                return c + ((jnp.sum(gx) + jnp.sum(gw)) * 0).astype(c.dtype)
+
+            for phase, step in (("fwd", fwd_step), ("fwd+bwd", fwdbwd_step)):
+                try:
+                    t = chained_device_time(step, x, lo=repeats["lo"],
+                                            hi=repeats["hi"], args=(w,))
+                except Exception as e:
+                    results.append(dict(experiment=exp["name"], config=name,
+                                        phase=phase, batch=b, hw=hw, cin=cin,
+                                        cout=cout, error=type(e).__name__))
+                    continue
+                rec = dict(experiment=exp["name"], config=name, phase=phase,
+                           batch=b, hw=hw, cin=cin, cout=cout,
+                           time_us=round(t * 1e6, 2))
+                results.append(rec)
+                print(rec)
+    return results
+
+
+def run_stem_grid(exp, repeats, seed=0):
+    """Classic 7x7/s2+pool stem vs the space-to-depth stem (ops/stem.py)
+    across batch sizes — the shape-specialized-kernel experiment
+    (reference cpp/int8conv/check.cu:31-50 ethos)."""
+    from lowbitdnn_project_tpu.ops.conv import qconv2d
+    from lowbitdnn_project_tpu.ops.pool import qmax_pool2d
+    from lowbitdnn_project_tpu.ops.stem import stem_conv_pool_s2d
+    from lowbitdnn_project_tpu.quant import QTensor
+
+    rng = np.random.default_rng(seed)
+    w = _rand_int8(rng, (7, 7, 3, 64))
+    ws = jnp.full((1, 1, 1, 64), 0.005, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    out_scale = jnp.float32(0.05)
+    in_scale = jnp.float32(0.02)
+    results = []
+    for b in exp["batch"]:
+        x = _rand_int8(rng, (b, 224, 224, 3))
+
+        def classic(c, wv, s, bv):
+            wq = QTensor(values=wv, scale=s, axis=3)
+            h = qconv2d(QTensor(values=c, scale=in_scale), wq, bv, stride=2,
+                        padding=3, relu=True, out_scale=out_scale,
+                        backend="xla")
+            return _chain_int(c, qmax_pool2d(h, 3, 2, 1).values)
+
+        def s2d(c, wv, s, bv):
+            wq = QTensor(values=wv, scale=s, axis=3)
+            p = stem_conv_pool_s2d(QTensor(values=c, scale=in_scale), wq, bv,
+                                   out_scale)
+            return _chain_int(c, p.values)
+
+        for name, step in (("stem_classic", classic), ("stem_s2d8", s2d)):
+            try:
+                t = chained_device_time(step, x, lo=repeats["lo"],
+                                        hi=repeats["hi"], args=(w, ws, bias))
+            except Exception as e:
+                results.append(dict(experiment=exp["name"], config=name,
+                                    batch=b, error=type(e).__name__))
+                continue
+            rec = dict(experiment=exp["name"], config=name, batch=b,
+                       time_us=round(t * 1e6, 2))
+            results.append(rec)
+            print(rec)
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=_DEFAULT_CONFIG)
@@ -237,6 +327,17 @@ def main(argv=None):
                 for key in ("m", "k", "n"):
                     e[key] = e[key][:1]
             results += run_gemm_grid(e, conf["configs"], repeats)
+        elif exp["kind"] == "backward_grid":
+            e = dict(exp)
+            if args.quick:
+                for key in ("batch", "spatial", "channels", "filters"):
+                    e[key] = e[key][:1]
+            results += run_backward_grid(e, repeats)
+        elif exp["kind"] == "stem_grid":
+            e = dict(exp)
+            if args.quick:
+                e["batch"] = e["batch"][:1]
+            results += run_stem_grid(e, repeats)
         elif exp["kind"] == "model_layers":
             from lowbitdnn_project_tpu.bench.harness import run_resnet50_sweep
             results += run_resnet50_sweep(exp["batch"][0])

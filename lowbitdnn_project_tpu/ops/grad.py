@@ -56,25 +56,27 @@ def make_qconv2d_train(padding: int = 1, quantized_grads: bool = True):
         kh, kw, _, _ = w.shape
         if quantized_grads:
             # every backward operand is quantized first (qconv2d.py:81),
-            # then the grads are convolutions of those quantized tensors
+            # then both gradients run as ACTUAL int8 convolutions with int32
+            # accumulation (the reference's cuDNN int8 backward,
+            # qconv2d.py:91-114) and are scaled after. Weights are quantized
+            # per-tensor here: grad_input contracts over K, so a per-K scale
+            # cannot be factored out of the int32 conv.
             gq8, gs = _quant(g)
-            xq, xs = _quant(x)
-            wq, ws = _quant(w, axis=3)
-            # grad_input: conv of quantized grad with the 180°-rotated
+            xq, _xs = _quant(x)
+            wq, ws = _quant(w)
+            # grad_input: int8 conv of quantized grad with the 180°-rotated
             # quantized kernel, channels swapped, padding flipped to k-1-p
-            gx = jax.lax.conv_general_dilated(
-                gq8.astype(jnp.float32) * gs,
-                (wq.astype(jnp.float32) * ws)[::-1, ::-1].transpose(0, 1, 3, 2),
-                (1, 1), ((kh - 1 - padding, kh - 1 - padding),
-                         (kw - 1 - padding, kw - 1 - padding)),
-                dimension_numbers=DIMSPEC)
-            # grad_weight: correlation x ⋆ g as a conv with batch contracted
-            xt = (xq.astype(jnp.float32) * xs).transpose(3, 1, 2, 0)
-            gt = (gq8.astype(jnp.float32) * gs).transpose(1, 2, 0, 3)
-            gw = jax.lax.conv_general_dilated(
-                xt, gt, (1, 1), ((padding, padding), (padding, padding)),
-                dimension_numbers=DIMSPEC)                   # (C, KH, KW, K)
-            gw = gw.transpose(1, 2, 0, 3)
+            gx = conv2d_int32(
+                gq8, wq[::-1, ::-1].transpose(0, 1, 3, 2), (1, 1),
+                (kh - 1 - padding, kw - 1 - padding),
+            ).astype(jnp.float32) * (gs * ws)
+            # grad_weight: correlation x ⋆ g as an int8 conv with batch
+            # contracted (int32-exact; the float-conv formulation loses
+            # bits past 2^24 when N*OH*OW accumulations get large)
+            gw = conv2d_int32(
+                xq.transpose(3, 1, 2, 0), gq8.transpose(1, 2, 0, 3), (1, 1),
+                (padding, padding),
+            ).astype(jnp.float32).transpose(1, 2, 0, 3) * (_xs * gs)
         else:
             gx = jax.lax.conv_general_dilated(
                 g, w[::-1, ::-1].transpose(0, 1, 3, 2), (1, 1),

@@ -47,3 +47,19 @@ def test_int8chain_jits(rng):
     out = f(qparams, x)
     assert out.shape == (2, 10)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_int8chain_accepts_prequantized_input(rng):
+    """Serving boundary: QTensor int8 input == float input quantized inside."""
+    from lowbitdnn_project_tpu.quant import quantize
+
+    params = resnet.init_params(jax.random.key(1), TINY)
+    qparams = resnet.quantize_params(params, TINY)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    scales = resnet.calibrate_act_scales(params, [x], TINY)
+    ref = resnet.apply_quantized_int8chain(qparams, x, scales, TINY,
+                                           backend="xla")
+    x_q = quantize(x, scale=scales["conv1"])
+    got = resnet.apply_quantized_int8chain(qparams, x_q, scales, TINY,
+                                           backend="xla")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
