@@ -254,6 +254,7 @@ def apply_quantized_int8chain(
     add_domain: str = "float",
     backend: str = "auto",
     stem_backend: str = "auto",
+    block_backend: str = "none",
     interpret: bool = False,
 ) -> jax.Array:
     """Fully int8-chained inference: activations stay int8 between convs.
@@ -273,6 +274,12 @@ def apply_quantized_int8chain(
     (space-to-depth stem + Pallas phase pool, ops/stem.py — bit-exact,
     measured 2.3x faster at batch<=32), or "auto" (s2d8 for batch<=64 on
     the standard 224x224 stem, classic otherwise).
+    block_backend: "flat" fuses every stride-1 bottleneck residual block
+    (C, Cmid both 128-multiples, float add domain) into ONE Pallas kernel
+    in the flat pitched layout (kernels/block_flat.py) — conv1+conv2+conv3+
+    add+relu+requant with intermediates never leaving VMEM; consecutive
+    fused blocks chain without layout conversion. "none" runs every conv
+    separately through ``backend``.
     """
     from lowbitdnn_project_tpu.quant import quantize
     from lowbitdnn_project_tpu.quant.qtensor import QTensor
@@ -314,12 +321,58 @@ def apply_quantized_int8chain(
         x_q = qc(x_q, qparams["conv1"], relu=True,
                  out_scale=s["layer1.0.conv1"], stride=2, padding=3)
         x_q = qmax_pool2d(x_q, 3, 2, 1)
+    def _fusable(blk, stride):
+        if not (cfg.bottleneck and block_backend == "flat"
+                and add_domain == "float" and stride == 1
+                and "downsample" not in blk):
+            return False
+        _, _, c_in, cmid = blk["conv1"].weight.shape
+        return c_in % 128 == 0 and cmid % 128 == 0
+
+    def _flat_bm(c_in):
+        # VMEM-sized block heights (acc3 is (bm, C) int32, weights resident)
+        return {2048: 256, 1024: 512}.get(c_in, 1024)
+
+    fmeta = None  # FlatMeta while x_q.values is resident in flat layout
+
     for st in range(4):
-        for i, blk in enumerate(qparams[f"layer{st + 1}"]):
+        blocks = qparams[f"layer{st + 1}"]
+        for i, blk in enumerate(blocks):
             stride = 2 if (st > 0 and i == 0) else 1
             pre = f"layer{st + 1}.{i}"
             s_out = s[next_site(st, i)]
             last_scale = s_out if add_domain == "int8" else None
+            if _fusable(blk, stride):
+                from lowbitdnn_project_tpu.kernels.block_flat import (
+                    bottleneck_flat_int8)
+                from lowbitdnn_project_tpu.kernels.conv_flat import (
+                    flat_meta, from_flat, to_flat)
+
+                if fmeta is None:
+                    fmeta = flat_meta(*x_q.values.shape[:3])
+                    xf = to_flat(x_q.values, fmeta)
+                else:
+                    xf = x_q.values
+                w1q, w2q, w3q = (blk["conv1"].weight, blk["conv2"].weight,
+                                 blk["conv3"].weight)
+                sc_y1, sc_y2 = s[f"{pre}.conv2"], s[f"{pre}.conv3"]
+                xf = bottleneck_flat_int8(
+                    xf, w1q.values[0, 0], w2q.values, w3q.values[0, 0],
+                    jnp.stack([jnp.asarray(sc_y1, jnp.float32),
+                               jnp.asarray(sc_y2, jnp.float32),
+                               jnp.asarray(x_q.scale, jnp.float32),
+                               jnp.asarray(s_out, jnp.float32)]),
+                    x_q.scale * w1q.scale_vector(), blk["conv1"].bias,
+                    sc_y1 * w2q.scale_vector(), blk["conv2"].bias,
+                    sc_y2 * w3q.scale_vector(), blk["conv3"].bias,
+                    meta=fmeta, bm=_flat_bm(w1q.shape[2]),
+                    interpret=interpret)
+                if i + 1 < len(blocks) and _fusable(blocks[i + 1], 1):
+                    x_q = QTensor(values=xf, scale=s_out)  # stay flat
+                else:
+                    x_q = QTensor(values=from_flat(xf, fmeta), scale=s_out)
+                    fmeta = None
+                continue
             if cfg.bottleneck:
                 h = qc(x_q, blk["conv1"], relu=True, out_scale=s[f"{pre}.conv2"])
                 h = qc(h, blk["conv2"], relu=True, out_scale=s[f"{pre}.conv3"],

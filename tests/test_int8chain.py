@@ -63,3 +63,25 @@ def test_int8chain_accepts_prequantized_input(rng):
     got = resnet.apply_quantized_int8chain(qparams, x_q, scales, TINY,
                                            backend="xla")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_int8chain_flat_block_backend(rng):
+    """block_backend='flat' (fused bottleneck kernel, flat layout) matches
+    the per-conv chain. Width chosen so stage 3 blocks are fusable
+    (C=512, Cmid=128); layer boundaries exercise to_flat/from_flat."""
+    cfg = resnet.ResNetConfig(stage_blocks=(1, 1, 2, 1), bottleneck=True,
+                              num_classes=10, width=32)
+    params = resnet.init_params(jax.random.key(2), cfg)
+    qparams = resnet.quantize_params(params, cfg)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    scales = resnet.calibrate_act_scales(params, [x], cfg)
+    ref = resnet.apply_quantized_int8chain(
+        qparams, x, scales, cfg, backend="xla", act_dtype=jnp.float32)
+    got = resnet.apply_quantized_int8chain(
+        qparams, x, scales, cfg, backend="xla", act_dtype=jnp.float32,
+        block_backend="flat", interpret=True)
+    # identical int8 chains up to reciprocal-vs-division rounding at the
+    # requant boundary; logits must be numerically indistinguishable
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
