@@ -1,0 +1,100 @@
+"""Trained-model accuracy parity: FP32 vs INT8 vs W4A8 on a QAT-trained net.
+
+The BASELINE north star bounds quantized accuracy loss (top-1 within 0.5%
+for INT8, 1.5% for INT4-weight). No ImageNet ships in this zero-egress
+image, so the evidence is a *trained* model on synthetic data — the same
+form of evidence the reference produced with its annealing-trained MNIST
+net (python/tmp.py:123-150): train to real accuracy, quantize, compare.
+
+Pipeline: synthetic 10-class dataset -> QAT training (STE fake-quant,
+train/qat.py) -> evaluate the SAME checkpoint three ways:
+  fp32   : apply_fp32
+  int8   : quantize_params(bits=8) + calibrated int8 chain
+  w4a8   : quantize_params(bits=4) weights, int8 activations
+
+Run: python examples/accuracy_parity.py [steps]  (CPU-friendly sizes)
+Writes accuracy_parity.json next to the repo bench artifacts.
+"""
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lowbitdnn_project_tpu.models import resnet
+from lowbitdnn_project_tpu.train.qat import make_qat_train_step
+
+CFG = resnet.ResNetConfig(stage_blocks=(1, 1, 1, 1), bottleneck=True,
+                          num_classes=10, width=16)
+
+
+def make_templates(rng, num_classes=10, hw=32):
+    t = rng.normal(size=(num_classes, hw // 4, hw // 4, 3))
+    return np.repeat(np.repeat(t, 4, 1), 4, 2)  # smooth-ish class patterns
+
+
+def synthetic_classes(rng, templates, n, noise=0.6):
+    """Class = fixed random smooth template + heavy noise; learnable but not
+    trivially separable at this noise level. The SAME templates must be used
+    for train and test (they define the classes)."""
+    y = rng.integers(0, templates.shape[0], n)
+    x = templates[y] + rng.normal(0, noise, (n,) + templates.shape[1:])
+    return jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.int32)
+
+
+def accuracy(logits, y):
+    return float(jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32)))
+
+
+def main(steps=300, batch=64, seed=0):
+    rng = np.random.default_rng(seed)
+    templates = make_templates(rng)
+    x_train, y_train = synthetic_classes(rng, templates, 512)
+    x_test, y_test = synthetic_classes(rng, templates, 512)
+
+    params = resnet.init_params(jax.random.key(seed), CFG)
+    step = jax.jit(make_qat_train_step(
+        lambda p, xx: resnet.apply_fp32(p, xx, CFG), bits=8, lr=3e-3))
+
+    nb = x_train.shape[0] // batch
+    for it in range(steps):
+        i = it % nb
+        xb = x_train[i * batch:(i + 1) * batch]
+        yb = y_train[i * batch:(i + 1) * batch]
+        params, loss = step(params, xb, yb)
+        if it % 50 == 0:
+            print(f"step {it}: loss {float(loss):.4f}", flush=True)
+
+    # FP32 eval
+    fp32_logits = jax.jit(
+        lambda p, xx: resnet.apply_fp32(p, xx, CFG))(params, x_test)
+    acc_fp32 = accuracy(fp32_logits, y_test)
+
+    # calibrate once on training data
+    scales = resnet.calibrate_act_scales(params, [x_train[:128]], CFG)
+
+    results = {"fp32": acc_fp32}
+    for name, bits in (("int8", 8), ("w4a8", 4)):
+        qp = resnet.quantize_params(params, CFG, bits=bits)
+        logits = jax.jit(lambda p, xx: resnet.apply_quantized_int8chain(
+            p, xx, scales, CFG, backend="xla"))(qp, x_test)
+        results[name] = accuracy(logits, y_test)
+
+    out = {
+        "dataset": "synthetic-10class-32x32 (zero-egress stand-in)",
+        "train_steps": steps,
+        "top1": {k: round(v, 4) for k, v in results.items()},
+        "delta_pct": {
+            "int8": round(100 * (results["fp32"] - results["int8"]), 2),
+            "w4a8": round(100 * (results["fp32"] - results["w4a8"]), 2),
+        },
+        "targets_pct": {"int8": 0.5, "w4a8": 1.5},
+    }
+    print(json.dumps(out, indent=1))
+    with open("accuracy_parity.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)

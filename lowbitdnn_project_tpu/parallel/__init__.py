@@ -12,8 +12,14 @@ from lowbitdnn_project_tpu.parallel.sharding import (
     shard_batch,
     shard_qparams_tp,
 )
+from lowbitdnn_project_tpu.parallel.collective import (
+    qconv2d_tp_ring,
+    ring_all_gather,
+)
 
 __all__ = [
+    "ring_all_gather",
+    "qconv2d_tp_ring",
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",

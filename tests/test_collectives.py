@@ -1,0 +1,96 @@
+"""Collective placement verification (VERDICT #10).
+
+(a) HLO inspection: compile the TP-sharded int8 chain on the 8-device CPU
+    mesh and assert XLA's SPMD partitioner actually inserted channel
+    all-gathers — the assumption parallel/sharding.py rests on.
+(b) The hand-rolled ppermute ring all-gather (parallel/collective.py) is
+    bit-identical to lax.all_gather, so real-hardware overlap tuning is a
+    measurement between two working implementations.
+"""
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lowbitdnn_project_tpu.models import resnet
+from lowbitdnn_project_tpu.parallel import (
+    make_mesh, shard_batch, shard_qparams_tp,
+)
+from lowbitdnn_project_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from lowbitdnn_project_tpu.parallel.collective import (
+    qconv2d_tp_ring, ring_all_gather,
+)
+
+CFG = resnet.ResNetConfig(stage_blocks=(1, 1, 1, 1), bottleneck=True,
+                          num_classes=16, width=16)
+
+
+def test_tp_chain_hlo_contains_channel_allgathers():
+    mesh = make_mesh(dp=2, tp=4)
+    params = resnet.init_params(jax.random.key(0), CFG)
+    qparams = shard_qparams_tp(resnet.quantize_params(params, CFG), mesh)
+    x = shard_batch(jnp.ones((8, 32, 32, 3), jnp.float32), mesh)
+
+    with jax.set_mesh(mesh):
+        f = jax.jit(lambda p, xx: resnet.apply_quantized(p, xx, CFG))
+        hlo = f.lower(qparams, x).compile().as_text()
+
+    n_ag = len(re.findall(r"all-gather(?:-start|\()", hlo))
+    n_ar = len(re.findall(r"all-reduce(?:-start|\()", hlo))
+    # K-sharded weights + replicated-output convs force channel gathers
+    # (of weights or outputs) somewhere in every block
+    assert n_ag + n_ar >= 4, (n_ag, n_ar)
+
+
+def test_ring_all_gather_matches_lax():
+    mesh = make_mesh(dp=1, tp=8)
+    x = jnp.arange(8 * 4 * 16, dtype=jnp.float32).reshape(8 * 4, 16)
+
+    from jax import shard_map
+
+    ring = shard_map(
+        lambda v: ring_all_gather(v, MODEL_AXIS),
+        mesh=mesh, in_specs=P(MODEL_AXIS, None),
+        out_specs=P(MODEL_AXIS, None))(x)
+    # every shard now holds all chunks concatenated on the LAST axis in
+    # rank order; shard r's row block equals the transpose-gather of x
+    ref = shard_map(
+        lambda v: jax.lax.all_gather(v, MODEL_AXIS, axis=1, tiled=True)
+        .reshape(v.shape[0], -1),
+        mesh=mesh, in_specs=P(MODEL_AXIS, None),
+        out_specs=P(MODEL_AXIS, None))(x)
+    np.testing.assert_array_equal(np.asarray(ring), np.asarray(ref))
+
+
+def test_qconv2d_tp_ring_matches_dense():
+    from jax import shard_map
+
+    mesh = make_mesh(dp=2, tp=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-5, 6, (8, 8, 8, 32)), jnp.int8)
+    w = jnp.asarray(rng.integers(-5, 6, (3, 3, 32, 64)), jnp.int8)
+    scale = jnp.full((64,), 0.02, jnp.float32)
+    bias = jnp.linspace(-1, 1, 64).astype(jnp.float32)
+
+    f = shard_map(
+        lambda xx, ww, ss, bb: qconv2d_tp_ring(
+            xx, ww, ss, bb, padding=(1, 1), relu=True),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None, None),
+                  P(None, None, None, MODEL_AXIS),
+                  P(MODEL_AXIS), P(MODEL_AXIS)),
+        out_specs=P(DATA_AXIS, None, None, None),
+        # the ring gather replicates the output over MODEL, but the varying-
+        # mesh-axes checker cannot prove replication through ppermute
+        check_vma=False)
+    got = f(x, w, scale, bias)
+
+    acc = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    ref = jnp.maximum(acc.astype(jnp.float32) * scale + bias, 0.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
