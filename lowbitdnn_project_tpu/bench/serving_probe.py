@@ -1,0 +1,83 @@
+"""Serving-latency table: INT8 vs W4A8 (routed) ResNet-50 at batch 1-8.
+
+The W4A8 config carries int4 weights everywhere; its 1x1 layers with
+cin>=256 are nibble-packed (models/layers.py prepack_w4a8_1x1) and routed
+through the W4A8 Pallas kernel at batch<=4 (measured win region) — the
+per-layer routing VERDICT item: int4 where it wins, int8 path elsewhere.
+
+Run: python -m lowbitdnn_project_tpu.bench.serving_probe
+Writes serving_latency_r2.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from lowbitdnn_project_tpu.models import resnet                      # noqa: E402
+from lowbitdnn_project_tpu.models.layers import prepack_w4a8_1x1     # noqa: E402
+from lowbitdnn_project_tpu.utils.timing import (                     # noqa: E402
+    chain_via_scalar, chained_device_time)
+
+CFG = resnet.RESNET50
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "bench_cache.json")
+
+
+def main():
+    t0 = time.perf_counter()
+
+    def mark(m):
+        print(f"[+{time.perf_counter() - t0:6.1f}s] {m}", file=sys.stderr,
+              flush=True)
+
+    @jax.jit
+    def build():
+        params = resnet.init_params(jax.random.key(0), CFG)
+        qp8 = resnet.quantize_params(params, CFG, bits=8)
+        qp4 = resnet.quantize_params(params, CFG, bits=4)
+        return qp8, qp4
+
+    qp8, qp4 = build()
+    mark("params built")
+    qp4 = jax.jit(lambda p: prepack_w4a8_1x1(p, min_cin=256))(qp4)
+    jax.block_until_ready(jax.tree_util.tree_leaves(qp4)[0])
+    mark("w4 packed")
+
+    with open(_CACHE) as f:
+        act_scales = {k: jnp.asarray(v, jnp.float32)
+                      for k, v in json.load(f)["act_scales"].items()}
+    mark("scales loaded")
+
+    rows = []
+    for b in (1, 4, 8):
+        x = jnp.ones((b, 224, 224, 3), jnp.float32) * 0.5
+        res = {"batch": b}
+        for name, qp in (("int8", qp8), ("w4a8", qp4)):
+            def step(c, qp, scales):
+                logits = resnet.apply_quantized_int8chain(
+                    qp, c, scales, CFG, backend="xla")
+                return chain_via_scalar(c, logits)
+
+            t = chained_device_time(step, x, lo=20, hi=220, reps=3,
+                                    args=(qp, act_scales))
+            res[f"{name}_us"] = round(t * 1e6, 1)
+            res[f"{name}_img_s"] = round(b / t, 0)
+            mark(f"b{b} {name}: {res[f'{name}_us']}us")
+        res["w4a8_vs_int8"] = round(res["int8_us"] / res["w4a8_us"], 3)
+        rows.append(res)
+        print(res, flush=True)
+
+    with open("serving_latency_r2.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

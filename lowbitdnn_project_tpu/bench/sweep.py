@@ -114,6 +114,18 @@ def _conv_step(cfg_name: str, x, w, stride, pad, scale):
     return None
 
 
+def _timed_adaptive(step, init, repeats, args=()):
+    """Two-pass timing: if the measured delta window is under ~50 ms the
+    point sits at the relay-jitter floor (round-1's 0.0us records) —
+    re-measure with an iteration count sized for a ~100 ms delta."""
+    t = chained_device_time(step, init, lo=repeats["lo"],
+                            hi=repeats["hi"], args=args)
+    if t * (repeats["hi"] - repeats["lo"]) < 0.05:
+        iters = max(repeats["hi"], min(50_000, int(0.1 / max(t, 1e-7))))
+        t = chained_device_time(step, init, lo=50, hi=50 + iters, args=args)
+    return t
+
+
 def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
                   repeats: Dict[str, int], seed=0) -> List[Dict[str, Any]]:
     rng = np.random.default_rng(seed)
@@ -142,8 +154,7 @@ def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
                 continue
             step, init = built
             try:
-                t = chained_device_time(step, init, lo=repeats["lo"],
-                                        hi=repeats["hi"])
+                t = _timed_adaptive(step, init, repeats)
             except Exception as e:  # record failures, keep sweeping
                 results.append(dict(experiment=exp["name"], config=cfg["name"],
                                     batch=b, hw=hw, cin=cin, cout=cout,
@@ -194,8 +205,7 @@ def run_gemm_grid(exp, configs, repeats, seed=0):
             step, init = steps[cfg["name"]]
             cost = costs[cfg["name"]]
             try:
-                t = chained_device_time(step, init, lo=repeats["lo"],
-                                        hi=repeats["hi"])
+                t = _timed_adaptive(step, init, repeats)
             except Exception as e:
                 results.append(dict(experiment=exp["name"], config=cfg["name"],
                                     m=m, k=k, n=n, error=type(e).__name__))

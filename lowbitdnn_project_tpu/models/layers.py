@@ -24,9 +24,17 @@ from lowbitdnn_project_tpu.ops import qconv2d, qlinear
 
 @struct.dataclass
 class QConvParams:
-    """Quantized conv layer parameters: int8 HWIO weight + folded float bias."""
+    """Quantized conv layer parameters: int8 HWIO weight + folded float bias.
+
+    w4pack: optional nibble-packed int4 form of a 1x1 weight
+    ((C//2, K) uint8, kernels/matmul_w4a8.py pack layout). Present only on
+    layers prepacked by prepack_w4a8_1x1 — its presence routes the conv
+    through the W4A8 Pallas kernel in serving mode (halved weight HBM
+    traffic; the measured win for weight-bound small-batch 1x1 layers).
+    """
     weight: QTensor                       # (KH, KW, C/groups, K), axis=3 scale
     bias: Optional[jax.Array] = None      # (K,) f32, BN pre-folded
+    w4pack: Optional[jax.Array] = None    # (C//2, K) uint8, 1x1 only
 
 
 @struct.dataclass
@@ -59,6 +67,33 @@ def quantize_conv(w: jax.Array, bias: Optional[jax.Array], bits: int = 8
 def quantize_linear(w: jax.Array, bias: Optional[jax.Array], bits: int = 8
                     ) -> QLinearParams:
     return QLinearParams(weight=quantize(w, bits=bits, axis=1), bias=bias)
+
+
+def prepack_w4a8_1x1(qparams, *, min_cin: int = 256):
+    """Nibble-pack the 1x1 conv weights of an INT4-quantized param pytree.
+
+    Packs every QConvParams whose weight is 1x1, int4-quantized (bits=4),
+    and has cin >= min_cin and even cin — the weight-bound layers where the
+    W4A8 kernel's halved weight traffic wins at serving batch sizes.
+    Measured (bench/one_by_one_probe.py --w4a8, v5e): at batch 1 every
+    cin>=256 1x1 wins, 1.5x-14.7x (cin<=128 loses); by batch 8 the XLA
+    path mostly wins again. The packed form rides along in
+    QConvParams.w4pack; apply paths route on its presence.
+    """
+    from lowbitdnn_project_tpu.kernels.matmul_w4a8 import pack_int4_rows
+
+    def go(p):
+        if not isinstance(p, QConvParams):
+            return p
+        kh, kw, cin, k = p.weight.shape
+        if (kh, kw) != (1, 1) or p.weight.bits != 4 or cin < min_cin \
+                or cin % 2:
+            return p
+        packed = pack_int4_rows(p.weight.values.reshape(cin, k))
+        return QConvParams(weight=p.weight, bias=p.bias, w4pack=packed)
+
+    return jax.tree_util.tree_map(
+        go, qparams, is_leaf=lambda n: isinstance(n, QConvParams))
 
 
 def conv_block(

@@ -255,6 +255,7 @@ def apply_quantized_int8chain(
     backend: str = "auto",
     stem_backend: str = "auto",
     block_backend: str = "none",
+    use_w4a8_1x1: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fully int8-chained inference: activations stay int8 between convs.
@@ -286,8 +287,30 @@ def apply_quantized_int8chain(
     from lowbitdnn_project_tpu.ops import qconv2d, qlinear, qmax_pool2d
 
     s = act_scales
+    if use_w4a8_1x1 is None:
+        # packed-int4 weights win where weight HBM traffic + launch latency
+        # dominate: measured (one_by_one_probe --w4a8) 1.5-14.7x on every
+        # cin>=256 1x1 at batch 1, mostly losses by batch 8 -> auto at <=4
+        use_w4a8_1x1 = x.shape[0] <= 4
 
     def qc(x_q, p, relu, out_scale=None, stride=1, padding=0):
+        if (use_w4a8_1x1 and getattr(p, "w4pack", None) is not None
+                and stride == 1 and padding == 0):
+            from lowbitdnn_project_tpu.kernels.matmul_w4a8 import (
+                w4a8_matmul_fused)
+            n, h, wd, c = x_q.shape
+            k = p.weight.shape[3]
+            out = w4a8_matmul_fused(
+                x_q.values.reshape(n * h * wd, c), p.w4pack,
+                x_q.scale * p.weight.scale_vector(), p.bias,
+                out_scale if out_scale is not None else None,
+                relu=relu, requant=out_scale is not None,
+                out_dtype=act_dtype, interpret=interpret)
+            out = out.reshape(n, h, wd, k)
+            if out_scale is not None:
+                return QTensor(values=out,
+                               scale=jnp.asarray(out_scale, jnp.float32))
+            return out
         return qconv2d(x_q, p.weight, p.bias, stride=stride, padding=padding,
                        relu=relu, out_scale=out_scale, out_dtype=act_dtype,
                        backend=backend, interpret=interpret)

@@ -85,3 +85,33 @@ def test_int8chain_flat_block_backend(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
     assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
+
+
+def test_int8chain_w4a8_1x1_routing(rng):
+    """Serving W4A8 path: prepacked int4 1x1 weights through the Pallas
+    W4A8 kernel == the same int4 weights through the XLA conv path."""
+    from lowbitdnn_project_tpu.models.layers import prepack_w4a8_1x1
+
+    cfg = resnet.ResNetConfig(stage_blocks=(1, 1, 1, 1), bottleneck=True,
+                              num_classes=10, width=32)
+    params = resnet.init_params(jax.random.key(4), cfg)
+    qparams = resnet.quantize_params(params, cfg, bits=4)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    scales = resnet.calibrate_act_scales(params, [x], cfg)
+
+    qp_packed = prepack_w4a8_1x1(qparams, min_cin=128)
+    n_packed = sum(
+        1 for leaf in jax.tree_util.tree_leaves(
+            qp_packed, is_leaf=lambda n: hasattr(n, "w4pack"))
+        if getattr(leaf, "w4pack", None) is not None)
+    assert n_packed >= 4, n_packed
+
+    ref = resnet.apply_quantized_int8chain(
+        qparams, x, scales, cfg, backend="xla", act_dtype=jnp.float32,
+        use_w4a8_1x1=False)
+    got = resnet.apply_quantized_int8chain(
+        qp_packed, x, scales, cfg, backend="xla", act_dtype=jnp.float32,
+        use_w4a8_1x1=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
