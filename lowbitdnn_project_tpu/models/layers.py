@@ -73,12 +73,12 @@ def prepack_w4a8_1x1(qparams, *, min_cin: int = 256):
     """Nibble-pack the 1x1 conv weights of an INT4-quantized param pytree.
 
     Packs every QConvParams whose weight is 1x1, int4-quantized (bits=4),
-    and has cin >= min_cin and even cin — the weight-bound layers where the
-    W4A8 kernel's halved weight traffic wins at serving batch sizes.
-    Measured (bench/one_by_one_probe.py --w4a8, v5e): at batch 1 every
-    cin>=256 1x1 wins, 1.5x-14.7x (cin<=128 loses); by batch 8 the XLA
-    path mostly wins again. The packed form rides along in
-    QConvParams.w4pack; apply paths route on its presence.
+    and has cin >= min_cin and even cin. Standalone probes
+    (bench/one_by_one_probe.py --w4a8, v5e) showed batch-1 per-layer wins,
+    but e2e A/B measured each in-chain Pallas insertion costing ~30 us at
+    batch 1 (routed ResNet-50: 796 vs 276 us with 17 layers packed) — the
+    serving chain defaults the routing OFF; this stays as an opt-in
+    (use_w4a8_1x1=True) plus the on-disk/HBM footprint halving.
     """
     from lowbitdnn_project_tpu.kernels.matmul_w4a8 import pack_int4_rows
 

@@ -288,10 +288,12 @@ def apply_quantized_int8chain(
 
     s = act_scales
     if use_w4a8_1x1 is None:
-        # packed-int4 weights win where weight HBM traffic + launch latency
-        # dominate: measured (one_by_one_probe --w4a8) 1.5-14.7x on every
-        # cin>=256 1x1 at batch 1, mostly losses by batch 8 -> auto at <=4
-        use_w4a8_1x1 = x.shape[0] <= 4
+        # OFF by default: standalone per-layer probes showed batch-1 W4A8
+        # kernel wins, but e2e A/B measured each in-chain Pallas insertion
+        # costing ~30 us at batch 1 (17 routed layers: 796 vs 276 us) —
+        # XLA fuses the whole int8 chain so well that standalone dispatch
+        # comparisons mis-rank. Kept as an explicit opt-in capability.
+        use_w4a8_1x1 = False
 
     def qc(x_q, p, relu, out_scale=None, stride=1, padding=0):
         if (use_w4a8_1x1 and getattr(p, "w4pack", None) is not None

@@ -166,16 +166,14 @@ def qconv2d(
     requant = out_scale is not None
 
     if backend == "auto":
-        # XLA's TPU conv emitters measured at/near speed-of-light for most
-        # standard shapes; route there by default. Exceptions are the
-        # measured per-shape wins from bench/one_by_one_probe.py (v5e b128):
-        # the Pallas fused GEMM beats the XLA emitter on the 512->256 1x1
-        # body conv (l3.0.c1: 68.7 vs 121.2 us, 1.76x).
+        # XLA's TPU conv emitters measured at/near speed-of-light for the
+        # standard shapes; route there by default. Standalone per-layer
+        # probes (bench/one_by_one_probe.py) suggested Pallas wins on some
+        # 1x1 shapes, but e2e A/B at batch 128 shows inserting a Pallas
+        # call mid-chain LOSES (5.93 -> 6.53 ms ResNet-50: the custom call
+        # breaks XLA's fusion neighborhood); standalone dispatch timings
+        # overstate the in-graph cost of XLA convs. Only e2e A/B counts.
         backend = "xla"
-        if ((kh, kw) == (1, 1) and stride == (1, 1) and padding == (0, 0)
-                and groups == 1 and (c, k) == (512, 256)
-                and n * h * wdim >= 50_000):
-            backend = "gemm"
 
     if backend == "direct":
         from lowbitdnn_project_tpu.kernels.conv_direct import conv2d_direct_int8
