@@ -1,0 +1,272 @@
+"""Fused ResNet stem kernel: 7x7/s2/p3 int8 conv + requant + 3x3/s2/p1
+maxpool in ONE Pallas pass — the fusion XLA cannot express.
+
+Why this exists: the C=3 stem is XLA's one demonstrably weak conv on v5e
+(26% SOL, 573 us at batch 128; every XLA-level reformulation tried in
+rounds 1-2 stayed >= 384 us), and the following maxpool is HBM-roofline
+(169 us) *because it has to re-read the 103 MB stem output XLA wrote*.
+Fusing conv+pool never materializes that intermediate: HBM traffic drops
+from ~250 MB to 56 MB (30 in + 26 out). This is the reference's
+specialized-kernel ethos (cpp/int8conv/check.cu:31-50 — a dedicated
+kernel for the one shape the vendor library handles badly) applied to the
+stem. Round-2 lesson applies: adoption is decided by e2e A/B only.
+
+The formulation ("byte-plane GEMM"):
+  * Pad C 3->4 and merge (W, C): padded row u becomes 1024 bytes; the 7x7
+    window for stem col j covers merged bytes 8j+t, t in [0,27] with
+    t = 4b + c (b = col tap, c = channel).
+  * XLA prep splits each row into 8 BYTE PLANES of 128 lanes:
+    planes[n, u, p, j] = row_u[8j + p]. Then tap t lives in plane p = t%8
+    at lane offset s = t//8 in [0,3] — a pure LANE SHIFT.
+  * Per pooled output row, one int8 MXU GEMM computes BOTH contributing
+    stem rows: LHS = scattered weights (128, 288) [M = 2 stem rows x 64
+    channels], RHS = X4 (288, 128) = [X9; X9<<1; X9<<2; X9<<3] where
+    X9 = planes rows 4p'..4p'+8 (a free reshape of a contiguous slice)
+    and << is an int8 lane roll (via int32 bitcast - Mosaic has no int8
+    rotate). Lanes are stem cols. K padding (288 vs live 147x2/...) costs
+    ~2x MACs - irrelevant next to the 10x layout win.
+  * Epilogue (scale/bias/ReLU/requant, matching ops/conv.py:231-238
+    bit-for-bit in op order) keeps everything in registers; a rolling
+    1-row carry implements the 3-row maxpool; the 3-col window is two
+    more lane rolls.
+  * Stride-2 column selection + (k, j)->(j, k) transpose are TWO SMALL
+    MATMULS (0/1 selection matrix, identity) - the MXU does the data
+    movement the VPU cannot (no strided lane gathers on TPU).
+
+Reference parity: replaces conv7x7+maxpool of the reference's ResNet stem
+(python/qtorch/nn/modules: Int8Conv2d + MaxPool2d chain); the int8
+algebra is exact, outputs match the XLA path within |delta| <= 1 requant
+rounding (fma-order ulp differences at exact-half boundaries).
+
+v1 MEASURED (b128, v5e): bit-exact vs the XLA chain but 4974 us vs 617 us
+— the per-pool-row fori (56 iters/image x 128 grid steps) serializes tiny
+(128,288)@(288,128) GEMMs behind VPU epilogues; MXU never pipelines.
+Kept as lab history (the reference's v1..v6 ethos). v2 below fixes the
+structure: R=14 row-pairs batched along lanes (N=1792 GEMM) and the
+requant epilogue hoisted PAST the maxpool (monotonicity: alpha>0 affine +
+round + clip all commute with max), so requant touches only pooled rows.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lowbitdnn_project_tpu.quant.qtensor import QTensor
+
+
+# ---------------------------------------------------------------- prep ---
+
+def stem_plane_input(x_values: jax.Array) -> jax.Array:
+    """int8 (N,224,224,3) -> byte planes (N, 232, 8, 128).
+
+    planes[n, u, p, j] = merged byte 8j+p of padded row u, where padded
+    row u = original row u-3 (conv pad 3) and merged byte 4w'+c of padded
+    col w' = original col w'-3, channel c (c=3 zero pad).
+    """
+    n, h, w, c = x_values.shape
+    assert (h, w, c) == (224, 224, 3), (h, w, c)
+    xp = jnp.pad(x_values, ((0, 0), (3, 5), (3, 29), (0, 1)))  # (N,232,256,4)
+    xm = xp.reshape(n, 232, 1024).reshape(n, 232, 128, 8)
+    return xm.transpose(0, 1, 3, 2)                            # (N,232,8,128)
+
+
+def stem_plane_filter(w: jax.Array) -> jax.Array:
+    """(7,7,3,64) int8 -> the scattered GEMM LHS (128, 288) int8.
+
+    W2[o*64+k, s*72 + u*8 + p]: o in {0,1} selects the stem row of the
+    pair (local input row offset 2o), u in [0,9) the local padded row,
+    (s,p) the byte tap t = 8s+p = 4b+c. Zero where the tap leaves the
+    7x7x3 window.
+    """
+    kh, kw, c, k = w.shape
+    assert (kh, kw, c, k) == (7, 7, 3, 64), w.shape
+    idx = np.full((2, 64, 288), 49 * 21, np.int32)     # sentinel = zero row
+    wflat_len = 7 * 7 * 3
+    for o in range(2):
+        for s in range(4):
+            for u in range(9):
+                for p in range(8):
+                    t = 8 * s + p
+                    if t > 26:
+                        continue
+                    b, ch = t // 4, t % 4
+                    a = u - 2 * o
+                    if ch >= 3 or not (0 <= a <= 6):
+                        continue
+                    col = s * 72 + u * 8 + p
+                    idx[o, :, col] = a * 21 + b * 3 + ch
+    wext = jnp.concatenate(
+        [w.reshape(wflat_len, k), jnp.zeros((1, k), w.dtype)], axis=0)
+    # gather: W2[o*64+k, col] = wext[idx[o, k, col], k]
+    rows = []
+    for o in range(2):
+        g = wext[jnp.asarray(np.minimum(idx[o, 0], wflat_len))]   # (288, 64)
+        rows.append(g.T)                                          # (64, 288)
+    return jnp.concatenate(rows, axis=0)                          # (128, 288)
+
+
+def _pool_select() -> jax.Array:
+    """(128, 64) int8 selection: S[c, j'] = 1 iff c == 2j', j' < 56."""
+    s = np.zeros((128, 64), np.int8)
+    for j in range(56):
+        s[2 * j, j] = 1
+    return jnp.asarray(s)
+
+
+# -------------------------------------------------------------- kernel ---
+
+def _roll8(v, s: int, right: bool = False):
+    """Lane-roll an int8 (R,128) value by s in [1,3]; left: elem j <- j+s.
+
+    Mosaic has no int8 lane rotate; bitcast to uint32 and move bytes.
+    pltpu.bitcast packs along SUBLANES on TPU ((R,128)i8 -> (R/4,128)u32,
+    bytes of 4 consecutive sublanes share a lane) in which case a u32
+    lane-roll moves int8 lanes directly; lane-packed layouts
+    ((R,32)u32) need byte shifts across the adjacent lane instead.
+    """
+    w = pltpu.bitcast(v, jnp.uint32)
+    if w.shape[1] == v.shape[1]:                   # sublane-packed: (R/4,128)
+        out = pltpu.roll(w, shift=(128 - s) if not right else s, axis=1)
+        return pltpu.bitcast(out, jnp.int8)
+    # lane-packed: (R, 32); int8 lane 4l+b = byte b (LSB-first) of u32 lane l
+    if not right:
+        nxt = pltpu.roll(w, shift=31, axis=1)      # u32 lane l <- l+1
+        out = (w >> (8 * s)) | (nxt << (32 - 8 * s))
+    else:
+        prv = pltpu.roll(w, shift=1, axis=1)       # u32 lane l <- l-1
+        out = (w << (8 * s)) | (prv >> (32 - 8 * s))
+    return pltpu.bitcast(out, jnp.int8)
+
+
+def _roll8_interp(v, s: int, right: bool = False):
+    """Interpret-mode (CPU) lane roll with plain jnp; bit-identical wrap."""
+    return jnp.roll(v, s if right else -s, axis=1)
+
+
+def _stem_kernel(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
+                 sel_ref, ident_ref, out_ref, *, relu: bool,
+                 interpret: bool):
+    roll = _roll8_interp if interpret else _roll8
+    alpha = alpha_ref[:]                     # (128, 1) f32
+    beta = beta_ref[:]                       # (128, 1) f32
+    inv_os = invos_ref[0, 0]                 # f32 scalar
+    w2 = w_ref[:]                            # (128, 288) int8
+    sel = sel_ref[:]                         # (128, 64) int8
+    ident = ident_ref[:]                     # (64, 64) int8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 1)
+
+    def pool_row(p_, carry):
+        # --- conv GEMM for stem rows (2p', 2p'+1) ---
+        x9 = planes_ref[0, pl.ds(4 * p_, 9), :, :].reshape(72, 128)
+        x4 = jnp.concatenate(
+            [x9, roll(x9, 1), roll(x9, 2), roll(x9, 3)], axis=0)  # (288,128)
+        acc = jax.lax.dot_general(
+            w2, x4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                    # (128,128)
+        # --- epilogue: same op order as ops/conv.py xla path ---
+        f = acc.astype(jnp.float32) * alpha + beta
+        if relu:
+            f = jnp.maximum(f, 0.0)
+        q = jnp.clip(jnp.round(f * inv_os), -127.0, 127.0).astype(jnp.int8)
+        # --- 3x3/s2 maxpool in int32 (Mosaic cannot legalize int8 maxsi;
+        # int32 also gets the native 32-bit lane rotate) ---
+        q0 = q[0:64, :].astype(jnp.int32)
+        q1 = q[64:128, :].astype(jnp.int32)
+        rowmax = jnp.maximum(jnp.maximum(carry, q0), q1)
+        if interpret:
+            mr = jnp.roll(rowmax, -1, axis=1)         # elem c <- c+1
+            ml = jnp.roll(rowmax, 1, axis=1)          # elem c <- c-1
+        else:
+            mr = pltpu.roll(rowmax, shift=127, axis=1)
+            ml = pltpu.roll(rowmax, shift=1, axis=1)
+        ml = jnp.where(lane == 0, jnp.int32(-128), ml)  # col -1 pad
+        m3 = jnp.maximum(jnp.maximum(ml, rowmax), mr)
+        # --- stride-2 col select + transpose, both on the MXU ---
+        pooled_kt = jax.lax.dot_general(
+            m3.astype(jnp.int8), sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int8)   # (64,64) kxj'
+        out_t = jax.lax.dot_general(
+            pooled_kt, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int8)   # (64,64) j'xk
+        out_ref[0, p_, :, :] = out_t[0:56, :]
+        return q1                                     # next carry: row 2p'+1
+
+    carry0 = jnp.full((64, 128), -128, jnp.int32)
+    jax.lax.fori_loop(0, 56, pool_row, carry0)
+
+
+# ----------------------------------------------------------- host side ---
+
+@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+def _stem_fused_call(planes, w2, alpha, beta, inv_os, sel, ident,
+                     relu: bool, interpret: bool):
+    n = planes.shape[0]
+    kernel = functools.partial(_stem_kernel, relu=relu, interpret=interpret)
+    grid_spec = pl.GridSpec(
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((128, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 232, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 288), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 56, 56, 64), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    flops = n * 56 * 2 * (128 * 288 * 128 + 128 * 64 * 64 + 64 * 64 * 64)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 56, 56, 64), jnp.int8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=planes.size + n * 56 * 56 * 64,
+            transcendentals=0),
+    )(alpha, beta, inv_os, planes, w2, sel, ident)
+
+
+def stem_conv_pool_fused(
+    x_q: QTensor,                 # (N,224,224,3) int8, per-tensor scale
+    w_q: QTensor,                 # (7,7,3,64) int8, per-channel axis=3
+    bias: Optional[jax.Array],    # (64,) f32 or None
+    out_scale,                    # scalar
+    *,
+    relu: bool = True,
+    interpret: bool = False,
+) -> QTensor:
+    """Fused stem: 7x7/s2/p3 conv + bias/ReLU/requant + 3x3/s2/p1 maxpool.
+
+    int8 (N,224,224,3) -> int8 QTensor (N,56,56,64); equals
+    qconv2d(stride=2, padding=3, relu, out_scale) + qmax_pool2d(3,2,1)
+    within |delta| <= 1 (requant rounding at exact-half fma boundaries).
+    """
+    planes = stem_plane_input(x_q.values)
+    w2 = stem_plane_filter(w_q.values)
+    k = w_q.shape[3]
+    scale = (x_q.scale * w_q.scale_vector()).astype(jnp.float32)
+    alpha = jnp.tile(jnp.broadcast_to(scale.reshape(-1), (k,)), 2)
+    beta = (jnp.zeros((2 * k,), jnp.float32) if bias is None
+            else jnp.tile(jnp.asarray(bias, jnp.float32), 2))
+    inv_os = (1.0 / jnp.asarray(out_scale, jnp.float32)).reshape(1, 1)
+    out = _stem_fused_call(
+        planes, w2, alpha.reshape(2 * k, 1), beta.reshape(2 * k, 1),
+        inv_os, _pool_select(), jnp.eye(64, dtype=jnp.int8),
+        relu, interpret)
+    return QTensor(values=out, scale=jnp.asarray(out_scale, jnp.float32),
+                   bits=8, axis=None)
