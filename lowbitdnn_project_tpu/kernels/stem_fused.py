@@ -45,6 +45,17 @@ Kept as lab history (the reference's v1..v6 ethos). v2 below fixes the
 structure: R=14 row-pairs batched along lanes (N=1792 GEMM) and the
 requant epilogue hoisted PAST the maxpool (monotonicity: alpha>0 affine +
 round + clip all commute with max), so requant touches only pooled rows.
+
+v2 MEASURED (v5e, bit-exact vs the XLA chain at b8):
+  standalone b128: 646 us (+45 us plane prep) vs XLA conv+pool 550 us.
+  Stage breakdown (chained-timer ablation): main GEMM+patch build 444
+  (MXU floor 172 of which ~130 is K=288 zero-tap padding; rolls 38,
+  concat ~30, patch loads ~25, stores ~90, grid ~100), pool +120,
+  requant +65, select/transpose +15.
+  e2e ResNet-50 int8 chain (interleaved A/B, min of 3): WINS 2.05x at
+  b8, 1.35x at b32, 1.13x at b64; parity at b96; loses 5% at b128 —
+  in-chain XLA stem costs only ~350 us at b128 (fusion neighborhoods),
+  so routing defaults to fused for batch <= 64 (models/resnet.py).
 """
 from __future__ import annotations
 
@@ -131,15 +142,16 @@ def _roll8(v, s: int, right: bool = False):
     ((R,32)u32) need byte shifts across the adjacent lane instead.
     """
     w = pltpu.bitcast(v, jnp.uint32)
-    if w.shape[1] == v.shape[1]:                   # sublane-packed: (R/4,128)
-        out = pltpu.roll(w, shift=(128 - s) if not right else s, axis=1)
+    nlane = w.shape[1]
+    if nlane == v.shape[1]:                        # sublane-packed: (R/4,L)
+        out = pltpu.roll(w, shift=(nlane - s) if not right else s, axis=1)
         return pltpu.bitcast(out, jnp.int8)
-    # lane-packed: (R, 32); int8 lane 4l+b = byte b (LSB-first) of u32 lane l
+    # lane-packed: (R, L/4); int8 lane 4l+b = byte b (LSB-first) of u32 lane l
     if not right:
-        nxt = pltpu.roll(w, shift=31, axis=1)      # u32 lane l <- l+1
+        nxt = pltpu.roll(w, shift=nlane - 1, axis=1)   # u32 lane l <- l+1
         out = (w >> (8 * s)) | (nxt << (32 - 8 * s))
     else:
-        prv = pltpu.roll(w, shift=1, axis=1)       # u32 lane l <- l-1
+        prv = pltpu.roll(w, shift=1, axis=1)           # u32 lane l <- l-1
         out = (w << (8 * s)) | (prv >> (32 - 8 * s))
     return pltpu.bitcast(out, jnp.int8)
 
@@ -201,6 +213,125 @@ def _stem_kernel(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
     jax.lax.fori_loop(0, 56, pool_row, carry0)
 
 
+# ----------------------------------------------------------- v2 kernel ---
+#
+# Structure fix over v1 (which measured 4974 us vs XLA 617 at b128): batch
+# R=14 row-pairs along the GEMM lane dim (one (128,288)x(288,1792) MXU op
+# per chunk instead of 14 serialized (288,128) ones) and hoist the requant
+# epilogue PAST the maxpool — alpha>0 affine, round and clip are all
+# monotone non-decreasing, and pooling is spatial within a channel, so
+# requant(maxpool(acc)) == maxpool(requant(acc)) bit-for-bit while running
+# the float epilogue on 4x fewer rows. The inter-pair pool carry rides a
+# VMEM scratch across grid steps (grid = (image, chunk), chunk fastest).
+
+_R = 14            # row-pairs per chunk; 56 pool rows = 4 chunks
+_NEG = -(2 ** 30)  # pool pad; any real int32 acc (|.| <= 288*127^2) wins
+
+
+def _pool_select_t() -> jax.Array:
+    """(64, 128) int8 selection: S[j', c] = 1 iff c == 2j', j' < 56."""
+    s = np.zeros((64, 128), np.int8)
+    for j in range(56):
+        s[j, 2 * j] = 1
+    return jnp.asarray(s)
+
+
+def _stem_kernel_v2(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
+                    selt_ref, out_ref, carry_ref, *, relu: bool,
+                    interpret: bool):
+    roll8 = _roll8_interp if interpret else _roll8
+    j = pl.program_id(1)
+    alpha = alpha_ref[:]                     # (64, 1) f32
+    beta = beta_ref[:]                       # (64, 1) f32
+    inv_os = invos_ref[0, 0]                 # f32 scalar
+    w2 = w_ref[:]                            # (128, 288) int8
+    sel_t = selt_ref[:]                      # (64, 128) int8
+    wide = 128 * _R
+
+    @pl.when(j == 0)
+    def _init():
+        carry_ref[:] = jnp.full((64, 128), _NEG, jnp.int32)
+
+    # --- gather the R row-pair plane slices side by side along lanes ---
+    def body(x_ref):
+        for r in range(_R):
+            x9 = planes_ref[0, pl.ds(56 * j + 4 * r, 9), :, :]
+            x_ref[:, 128 * r:128 * (r + 1)] = x9.reshape(72, 128)
+        x = x_ref[:]                                         # (72, wide)
+        # live lanes per 128-block are [0,112); rolls only pollute dead ones
+        x4 = jnp.concatenate(
+            [x, roll8(x, 1), roll8(x, 2), roll8(x, 3)], axis=0)
+        acc = jax.lax.dot_general(
+            w2, x4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                # (128, wide)
+        acc0, acc1 = acc[0:64, :], acc[64:128, :]
+        # --- 3-row max in the int32 acc domain; carry = prior pair row 1 ---
+        prev1 = jnp.concatenate(
+            [carry_ref[:], acc1[:, :wide - 128]], axis=1)
+        carry_ref[:] = acc1[:, wide - 128:]
+        rowmax = jnp.maximum(jnp.maximum(prev1, acc0), acc1)
+        if interpret:
+            mr = jnp.roll(rowmax, -1, axis=1)
+            ml = jnp.roll(rowmax, 1, axis=1)
+        else:
+            mr = pltpu.roll(rowmax, shift=wide - 1, axis=1)
+            ml = pltpu.roll(rowmax, shift=1, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (64, wide), 1)
+        ml = jnp.where(lane % 128 == 0, jnp.int32(_NEG), ml)  # col -1 pad
+        m3 = jnp.maximum(jnp.maximum(ml, rowmax), mr)
+        # --- requant AFTER the pool (monotone-commute), 4x fewer rows ---
+        f = m3.astype(jnp.float32) * alpha + beta
+        if relu:
+            f = jnp.maximum(f, 0.0)
+        q = jnp.clip(jnp.round(f * inv_os), -127.0, 127.0).astype(jnp.int8)
+        # --- per pair: stride-2 select + transpose in ONE NT matmul ---
+        for r in range(_R):
+            out_t = jax.lax.dot_general(
+                sel_t, q[:, 128 * r:128 * (r + 1)],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.int8)  # (64,64)
+            out_ref[0, pl.ds(_R * j + r, 1), :, :] = (
+                out_t[0:56, :].reshape(1, 56, 64))
+
+    pl.run_scoped(body, pltpu.VMEM((72, wide), jnp.int8))
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+def _stem_fused_call_v2(planes, w2, alpha, beta, inv_os, sel_t,
+                        relu: bool, interpret: bool):
+    n = planes.shape[0]
+    kernel = functools.partial(_stem_kernel_v2, relu=relu,
+                               interpret=interpret)
+    flops = n * 56 * 2 * (128 * 288 * 128 + 64 * 128 * 64)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, 56 // _R),
+        in_specs=[
+            pl.BlockSpec((64, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 232, 8, 128), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 288), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 56, 56, 64), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 56, 56, 64), jnp.int8),
+        interpret=interpret,
+        scratch_shapes=[pltpu.VMEM((64, 128), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=planes.size + n * 56 * 56 * 64,
+            transcendentals=0),
+    )(alpha, beta, inv_os, planes, w2, sel_t)
+
+
 # ----------------------------------------------------------- host side ---
 
 @functools.partial(jax.jit, static_argnames=("relu", "interpret"))
@@ -249,24 +380,34 @@ def stem_conv_pool_fused(
     *,
     relu: bool = True,
     interpret: bool = False,
+    version: int = 2,
 ) -> QTensor:
     """Fused stem: 7x7/s2/p3 conv + bias/ReLU/requant + 3x3/s2/p1 maxpool.
 
     int8 (N,224,224,3) -> int8 QTensor (N,56,56,64); equals
     qconv2d(stride=2, padding=3, relu, out_scale) + qmax_pool2d(3,2,1)
     within |delta| <= 1 (requant rounding at exact-half fma boundaries).
+    ``version`` selects the kernel generation (1 = serial per-row lab
+    history, 2 = wide-N + pool-before-requant; see module docstring).
     """
     planes = stem_plane_input(x_q.values)
     w2 = stem_plane_filter(w_q.values)
     k = w_q.shape[3]
     scale = (x_q.scale * w_q.scale_vector()).astype(jnp.float32)
-    alpha = jnp.tile(jnp.broadcast_to(scale.reshape(-1), (k,)), 2)
-    beta = (jnp.zeros((2 * k,), jnp.float32) if bias is None
-            else jnp.tile(jnp.asarray(bias, jnp.float32), 2))
     inv_os = (1.0 / jnp.asarray(out_scale, jnp.float32)).reshape(1, 1)
-    out = _stem_fused_call(
-        planes, w2, alpha.reshape(2 * k, 1), beta.reshape(2 * k, 1),
-        inv_os, _pool_select(), jnp.eye(64, dtype=jnp.int8),
-        relu, interpret)
+    bias_v = (jnp.zeros((k,), jnp.float32) if bias is None
+              else jnp.asarray(bias, jnp.float32))
+    if version == 2:
+        alpha = jnp.broadcast_to(scale.reshape(-1), (k,))
+        out = _stem_fused_call_v2(
+            planes, w2, alpha.reshape(k, 1), bias_v.reshape(k, 1),
+            inv_os, _pool_select_t(), relu, interpret)
+    else:
+        alpha = jnp.tile(jnp.broadcast_to(scale.reshape(-1), (k,)), 2)
+        beta = jnp.tile(bias_v, 2)
+        out = _stem_fused_call(
+            planes, w2, alpha.reshape(2 * k, 1), beta.reshape(2 * k, 1),
+            inv_os, _pool_select(), jnp.eye(64, dtype=jnp.int8),
+            relu, interpret)
     return QTensor(values=out, scale=jnp.asarray(out_scale, jnp.float32),
                    bits=8, axis=None)

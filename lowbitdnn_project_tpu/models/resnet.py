@@ -272,9 +272,14 @@ def apply_quantized_int8chain(
     (reference-style pure-int8 pipeline). Requires act_scales from
     calibrate_act_scales.
     stem_backend: "classic" (7x7 conv + reduce_window pool), "s2d8"
-    (space-to-depth stem + Pallas phase pool, ops/stem.py — bit-exact,
-    measured 2.3x faster at batch<=32), or "auto" (s2d8 for batch<=64 on
-    the standard 224x224 stem, classic otherwise).
+    (space-to-depth stem + Pallas phase pool, ops/stem.py), "fused"
+    (single-pass Pallas conv+requant+maxpool, kernels/stem_fused.py —
+    never materializes the 112x112 intermediate), or "auto" (fused for
+    batch<=64 on the standard 224x224 stem, classic otherwise).
+    e2e A/B, ResNet-50 int8 b128 regime (min over 3 interleaved passes):
+    fused wins 2.05x/1.35x/1.13x over classic at b8/b32/b64, parity at
+    b96, loses 5% at b128 — XLA's C=3 stem emitter is only weak when
+    starved of rows.
     block_backend: "flat" fuses every stride-1 bottleneck residual block
     (C, Cmid both 128-multiples, float add domain) into ONE Pallas kernel
     in the flat pitched layout (kernels/block_flat.py) — conv1+conv2+conv3+
@@ -334,10 +339,17 @@ def apply_quantized_int8chain(
     # consumed directly — no float round-trip at the serving boundary.
     x_q = x if isinstance(x, QTensor) else quantize(x, scale=s["conv1"])
     w1 = qparams["conv1"].weight
-    use_s2d = stem_backend == "s2d8" or (
+    use_fused = stem_backend == "fused" or (
         stem_backend == "auto" and x.shape[0] <= 64
-        and x.shape[1:3] == (224, 224) and w1.shape[:2] == (7, 7))
-    if use_s2d:
+        and x.shape[1:3] == (224, 224) and w1.shape == (7, 7, 3, 64))
+    use_s2d = stem_backend == "s2d8"
+    if use_fused:
+        from lowbitdnn_project_tpu.kernels.stem_fused import (
+            stem_conv_pool_fused)
+        x_q = stem_conv_pool_fused(x_q, w1, qparams["conv1"].bias,
+                                   s["layer1.0.conv1"], relu=True,
+                                   interpret=interpret)
+    elif use_s2d:
         from lowbitdnn_project_tpu.ops.stem import stem_conv_pool_s2d
         x_q = stem_conv_pool_s2d(x_q, w1, qparams["conv1"].bias,
                                  s["layer1.0.conv1"], relu=True,

@@ -38,7 +38,8 @@ def test_plane_input_layout(rng):
         assert got[0, u, p, j] == merged[0, u, 8 * j + p], (u, p, j)
 
 
-def test_stem_fused_matches_chain(rng):
+@pytest.mark.parametrize("version", [1, 2])
+def test_stem_fused_matches_chain(rng, version):
     x = jnp.asarray(rng.normal(size=(2, 224, 224, 3)).astype(np.float32) * 2)
     w = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1)
     bias = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.5)
@@ -47,7 +48,8 @@ def test_stem_fused_matches_chain(rng):
     out_scale = 0.05
 
     ref = _reference(x_q, w_q, bias, out_scale)
-    got = stem_conv_pool_fused(x_q, w_q, bias, out_scale, interpret=True)
+    got = stem_conv_pool_fused(x_q, w_q, bias, out_scale, interpret=True,
+                               version=version)
 
     assert got.values.shape == ref.values.shape == (2, 56, 56, 64)
     delta = np.abs(np.asarray(got.values, np.int32)
@@ -56,14 +58,15 @@ def test_stem_fused_matches_chain(rng):
     assert (delta > 0).mean() < 1e-3, f"mismatch rate {(delta > 0).mean()}"
 
 
-def test_stem_fused_no_bias_no_relu(rng):
+@pytest.mark.parametrize("version", [1, 2])
+def test_stem_fused_no_bias_no_relu(rng, version):
     x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1)
     x_q = quantize(x, bits=8)
     w_q = quantize(w, bits=8, axis=3)
     ref = _reference(x_q, w_q, None, 0.08, relu=False)
     got = stem_conv_pool_fused(x_q, w_q, None, 0.08, relu=False,
-                               interpret=True)
+                               interpret=True, version=version)
     delta = np.abs(np.asarray(got.values, np.int32)
                    - np.asarray(ref.values, np.int32))
     assert delta.max() <= 1, f"max |delta| {delta.max()}"
