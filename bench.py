@@ -39,7 +39,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "bench_cache.json")
-BATCH = 128
+# Best measured throughput config (interleaved batch scan, r2): batch 32
+# with the fused Pallas stem beats b128-classic 22.3k vs 21.6k img/s, and
+# bf16's own best batch is also 32 (14.1k) -> ratio compares best-vs-best.
+BATCH = 32
 
 
 def build_model():
@@ -94,13 +97,13 @@ def main():
         return chain_via_scalar(carry, logits)
 
     _mark("calibration ready")
-    t_int8 = chained_device_time(int8_step, x, lo=5, hi=55,
+    t_int8 = chained_device_time(int8_step, x, lo=10, hi=110,
                                  args=(qparams, act_scales))
     ips_int8 = BATCH / t_int8
     _mark("int8 measured")
 
-    if "bf16_img_s" in cache:
-        ips_bf16 = float(cache["bf16_img_s"])
+    if f"bf16_img_s_b{BATCH}" in cache:
+        ips_bf16 = float(cache[f"bf16_img_s_b{BATCH}"])
     else:
         params_bf16 = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
@@ -111,9 +114,9 @@ def main():
             logits = resnet.apply_fp32(params_bf16, carry, cfg)
             return chain_via_scalar(carry, logits)
 
-        ips_bf16 = BATCH / chained_device_time(bf16_step, xb, lo=5, hi=55,
+        ips_bf16 = BATCH / chained_device_time(bf16_step, xb, lo=10, hi=110,
                                                args=(params_bf16,))
-        cache["bf16_img_s"] = round(ips_bf16, 2)
+        cache[f"bf16_img_s_b{BATCH}"] = round(ips_bf16, 2)
 
     try:
         with open(_CACHE, "w") as f:
