@@ -256,6 +256,7 @@ def apply_quantized_int8chain(
     stem_backend: str = "auto",
     block_backend: str = "none",
     use_w4a8_1x1: Optional[bool] = None,
+    use_wpack: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fully int8-chained inference: activations stay int8 between convs.
@@ -286,6 +287,15 @@ def apply_quantized_int8chain(
     add+relu+requant with intermediates never leaving VMEM; consecutive
     fused blocks chain without layout conversion. "none" runs every conv
     separately through ``backend``.
+    use_wpack: route the layer1 bottleneck triples (where cin=cout=64
+    leaves the MXU half-empty in BOTH the contraction and output lane
+    dims) through the output-pair-packed formulation (ops/wpack.py).
+    None = auto = OFF: the isolated triple wins 1.67x at b32
+    (scratch/wpack_triple_probe.py) but the full-chain e2e A/B LOSES
+    (b32: 2164 us wpack vs 1268 us classic, scratch/wpack_ab2.py) —
+    in-chain, XLA fuses the classic blocks into neighborhoods the packed
+    formulation breaks. Same probe-vs-e2e mis-ranking as the 1x1 Pallas
+    routing (BENCH_NOTES round 2); kept as an explicit opt-in capability.
     """
     from lowbitdnn_project_tpu.quant import quantize
     from lowbitdnn_project_tpu.quant.qtensor import QTensor
@@ -299,6 +309,8 @@ def apply_quantized_int8chain(
         # XLA fuses the whole int8 chain so well that standalone dispatch
         # comparisons mis-rank. Kept as an explicit opt-in capability.
         use_w4a8_1x1 = False
+    if use_wpack is None:
+        use_wpack = False  # e2e A/B loses at b32: see docstring
 
     def qc(x_q, p, relu, out_scale=None, stride=1, padding=0):
         if (use_w4a8_1x1 and getattr(p, "w4pack", None) is not None
@@ -409,6 +421,29 @@ def apply_quantized_int8chain(
                 else:
                     x_q = QTensor(values=from_flat(xf, fmeta), scale=s_out)
                     fmeta = None
+                continue
+            cmid = blk["conv2"].weight.shape[2] if cfg.bottleneck else 0
+            if (cfg.bottleneck and use_wpack and stride == 1
+                    and 2 * cmid <= 128 and x_q.shape[2] % 2 == 0):
+                # layer1 bottlenecks: cmid=64 starves the MXU lane dims;
+                # the packed triple wins 1.67x in isolation but loses
+                # in-chain (see use_wpack docstring) — opt-in only.
+                # Its residual tail always runs in the int8 add domain (the
+                # float tail forces a tiled-memory relayout of the packed
+                # f32 accumulation: measured +294 us/block) — so under
+                # add_domain="float" the wpack blocks deviate from the
+                # classic tail by one int8 rounding of the residual branch
+                from lowbitdnn_project_tpu.ops.wpack import qbottleneck_wpack
+
+                if "downsample" in blk:
+                    identity = qc(x_q, blk["downsample"], relu=False,
+                                  stride=stride, out_scale=s_out)
+                else:
+                    identity = x_q
+                x_q = qbottleneck_wpack(
+                    x_q, blk["conv1"], blk["conv2"], blk["conv3"],
+                    s[f"{pre}.conv2"], s[f"{pre}.conv3"],
+                    out_scale=s_out, out_dtype=act_dtype, identity=identity)
                 continue
             if cfg.bottleneck:
                 h = qc(x_q, blk["conv1"], relu=True, out_scale=s[f"{pre}.conv2"])

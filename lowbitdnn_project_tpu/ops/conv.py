@@ -148,7 +148,9 @@ def qconv2d(
         ("external" mode). Matches the reference's two output configs.
       backend: "auto" | "xla" | "gemm" (Pallas im2col GEMM) | "direct"
         (Pallas implicit-GEMM conv, stride 1, C%128==0) | "winograd"
-        (fused Pallas F(2x2,3x3), stride 1 pad 1, even H/W, C%128==0).
+        (fused Pallas F(2x2,3x3), stride 1 pad 1, even H/W, C%128==0)
+        | "wpack" (output-pair-packed 3x3 s1 p1 for cin<=64, ops/wpack.py
+        — the measured win for lane-starved layer1 body convs).
         "auto" picks XLA — measured fastest for standard convs on v5e
         (330-440 TOPS); the Pallas backends exist for shapes/fusions XLA
         cannot express and as tuning surfaces.
@@ -225,6 +227,14 @@ def qconv2d(
             relu=relu, requant=requant, out_dtype=out_dtype,
             interpret=interpret)
         out = out.reshape(n, oh, ow, k)
+    elif backend == "wpack":
+        from lowbitdnn_project_tpu.ops.wpack import qconv3x3_wpack
+
+        if (kh, kw) != (3, 3) or stride != (1, 1) or padding != (1, 1) \
+                or groups != 1 or dilation != (1, 1):
+            raise NotImplementedError("wpack path: 3x3 s1 p1 only")
+        return qconv3x3_wpack(x_q, w_q, bias, relu=relu, out_scale=out_scale,
+                              out_dtype=out_dtype)
     elif backend == "xla":
         acc = conv2d_int32(
             x_q.values, w_q.values, stride, padding, dilation, groups)
