@@ -98,6 +98,23 @@ def _conv_step(cfg_name: str, x, w, stride, pad, scale):
                 u, us, relu=True, out_scale=jnp.asarray(0.5))
             return _chain_int(c, q.values)
         return step, x
+    if cfg_name == "wpack":
+        # output-pair-packed 3x3 (ops/wpack.py): the lane-starved-shape
+        # formulation — only applies where BOTH lane dims are <=64-starved
+        if kh != 3 or stride != 1 or pad != 1 or 2 * x.shape[-1] > 128 \
+                or x.shape[2] % 2:
+            return None
+        from lowbitdnn_project_tpu.ops.wpack import (
+            pack_wpair_weights, qconv3x3_wpack)
+        wq = QTensor(values=w, scale=jnp.asarray(0.05, jnp.float32))
+        wp = pack_wpair_weights(w)
+
+        def step(c):
+            q = qconv3x3_wpack(
+                QTensor(values=c, scale=jnp.asarray(0.1, jnp.float32)), wq,
+                relu=True, out_scale=jnp.asarray(0.5, jnp.float32), wpack=wp)
+            return _chain_int(c, q.values)
+        return step, x
     if cfg_name == "int8_pallas_gemm":
         if kh != 1 or stride != 1:
             return None   # gemm conv path benched via 1x1 only
@@ -309,6 +326,74 @@ def run_stem_grid(exp, repeats, seed=0):
     return results
 
 
+def run_triple_grid(exp, repeats, seed=0):
+    """Bottleneck triple (1x1 A->C, 3x3 C->C, 1x1 C->B + int8 residual
+    tail): classic three-conv chain vs the output-pair-packed formulation
+    (ops/wpack.py qbottleneck_wpack) — bit-exact same function, identical
+    int8 NHWC boundaries, so this is the fair per-block A/B the lone-conv
+    grid cannot express (the pack/unpack relayouts are absorbed by the
+    1x1s). Variants interleaved across 2 passes, per-variant min (relay
+    clock drift, CLAUDE.md)."""
+    from lowbitdnn_project_tpu.models.layers import QConvParams
+    from lowbitdnn_project_tpu.ops.conv import qconv2d
+    from lowbitdnn_project_tpu.ops.wpack import qbottleneck_wpack
+    from lowbitdnn_project_tpu.quant import QTensor
+
+    rng = np.random.default_rng(seed)
+    results = []
+    for b in exp["batch"]:
+        hw, a, c = exp["spatial"][0], exp["channels"][0], exp["mid"]
+        mkp = lambda kh, kw, ci, co: QConvParams(
+            weight=QTensor(values=_rand_int8(rng, (kh, kw, ci, co)),
+                           scale=jnp.full((1, 1, 1, co), 0.01, jnp.float32),
+                           axis=3),
+            bias=jnp.asarray(rng.normal(size=(co,)), jnp.float32))
+        p1, p2, p3 = mkp(1, 1, a, c), mkp(3, 3, c, c), mkp(1, 1, c, a)
+        s2 = s3 = s_out = jnp.float32(0.05)
+        x = _rand_int8(rng, (b, hw, hw, a))
+
+        def classic(cx):
+            x_q = QTensor(values=cx, scale=jnp.float32(0.02))
+            h = qconv2d(x_q, p1.weight, p1.bias, relu=True, out_scale=s2)
+            h = qconv2d(h, p2.weight, p2.bias, padding=1, relu=True,
+                        out_scale=s3)
+            h = qconv2d(h, p3.weight, p3.bias, relu=False, out_scale=s_out)
+            r = jnp.round(x_q.values.astype(jnp.float32)
+                          * (x_q.scale / s_out))
+            idr = jnp.clip(r, -127, 127).astype(jnp.int8)
+            out = jnp.clip(h.values.astype(jnp.int16) + idr.astype(jnp.int16),
+                           0, 127).astype(jnp.int8)
+            return _chain_int(cx, out)
+
+        def packed(cx):
+            x_q = QTensor(values=cx, scale=jnp.float32(0.02))
+            out = qbottleneck_wpack(x_q, p1, p2, p3, s2, s3,
+                                    out_scale=s_out, identity=x_q)
+            return _chain_int(cx, out.values)
+
+        best = {}
+        for _ in range(2):
+            for name, step in (("triple_classic", classic),
+                               ("triple_wpack", packed)):
+                try:
+                    t = chained_device_time(step, x, lo=repeats["lo"],
+                                            hi=repeats["hi"])
+                except Exception as e:
+                    best[name] = None
+                    results.append(dict(experiment=exp["name"], config=name,
+                                        batch=b, error=type(e).__name__))
+                    continue
+                best[name] = min(best.get(name) or 1e9, t)
+        for name, t in best.items():
+            if t is None:
+                continue
+            rec = dict(experiment=exp["name"], config=name, batch=b, hw=hw,
+                       cin=a, mid=c, time_us=round(t * 1e6, 2))
+            results.append(rec)
+            print(rec)
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=_DEFAULT_CONFIG)
@@ -343,6 +428,11 @@ def main(argv=None):
                 for key in ("batch", "spatial", "channels", "filters"):
                     e[key] = e[key][:1]
             results += run_backward_grid(e, repeats)
+        elif exp["kind"] == "triple_grid":
+            e = dict(exp)
+            if args.quick:
+                e["batch"] = e["batch"][:1]
+            results += run_triple_grid(e, repeats)
         elif exp["kind"] == "stem_grid":
             e = dict(exp)
             if args.quick:

@@ -19,12 +19,16 @@ This module reformulates the conv so the MXU is full:
     at full 128-lane contraction and full output width.
 
 Useful-MAC ceiling: 75% (vs 50% for the classic formulation); performed
-MACs inflate 4/3 but run ~2x denser. Measured standalone with the requant
-epilogue fused (scratch/wpack_probe2.py, TPU v5e): batch 32 classic 63.9 us
-(116 TOPS) vs packed 25.1 us (295 useful TOPS, ~100% performed MXU) — the
-packed conv is the one standard-shape formulation where this framework
+MACs inflate 4/3 but run ~2x denser. Measured with the requant epilogue
+fused (scratch/wpack_probe2.py, TPU v5e, b32 56x56x64->64): classic XLA
+58.7 us (126 useful TOPS) vs packed-DOMAIN-RESIDENT 25.2 us (293 useful
+TOPS, ~100% performed MXU) — the one standard-shape formulation that
 beats XLA's own conv emitter, because the emitter cannot re-associate
-output pixels into the lane dim by itself.
+output pixels into the lane dim by itself. The caveat: entering/leaving
+the packed domain costs ~105 us at b32 (the (..,W,64)<->(..,W/2,128)
+reshapes are genuine tiled-memory relayouts), so a LONE wpack conv at
+classic boundaries loses (130 us; sweep config "wpack") — the win exists
+only while tensors stay packed, which is what qbottleneck_wpack arranges.
 
 Reference anchor: this is the same move as the reference's NCHW_VECT_C
 int8x4 repacking (python/qtorch/nn/functional/utils.py:5-18) — reshape the
