@@ -115,6 +115,29 @@ def _conv_step(cfg_name: str, x, w, stride, pad, scale):
                 relu=True, out_scale=jnp.asarray(0.5, jnp.float32), wpack=wp)
             return _chain_int(c, q.values)
         return step, x
+    if cfg_name == "wpack_resident":
+        # the packed-DOMAIN-RESIDENT conv (input pre-packed, output stays
+        # packed): the boundary condition under which the w-pair
+        # formulation beats XLA's emitter (bench_results_r2_wpack /
+        # BENCH_NOTES). Honest label: excludes the pack/unpack relayouts.
+        if kh != 3 or stride != 1 or pad != 1 or 2 * x.shape[-1] > 128 \
+                or x.shape[2] % 2:
+            return None
+        from lowbitdnn_project_tpu.ops.wpack import pack_wpair_weights
+        n, hh, wdim, cc = x.shape
+        wp = pack_wpair_weights(w)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0))).reshape(
+            n, hh, (wdim + 2) // 2, 2 * cc)
+
+        def step(c):
+            acc = jax.lax.conv_general_dilated(
+                c, wp, (1, 1), ((1, 1), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            q = jnp.clip(jnp.round(acc.astype(jnp.float32) * 0.011),
+                         -127, 127).astype(jnp.int8)
+            return _chain_int(c, q)
+        return step, xp
     if cfg_name == "int8_pallas_gemm":
         if kh != 1 or stride != 1:
             return None   # gemm conv path benched via 1x1 only

@@ -33,8 +33,8 @@ Reference parity: the persistent-tiling across a whole residual block is
 the reference's custom2DConvolution.cuh v5/v6 in-block accumulation idea;
 the chain semantics follow python/df-optimization/Int8Conv2d.py.
 
-MEASURED (TPU v5e, b32, interleaved min — scratch/block_l1_probe.py and
-scratch/block_l1_ablate.py; see BENCH_NOTES round 2 "fused layer1"):
+MEASURED (TPU v5e, b32, interleaved min — bench/probes/block_l1_probe.py and
+bench/probes/block_l1_ablate.py; see BENCH_NOTES round 2 "fused layer1"):
 bit-exact vs the classic chain (maxdiff 0 on device), but **loses 2.8x**:
 fused 450 us vs classic XLA block 161 us standalone (137 us in-chain).
 The ablation pins it on conv2: ANY in-kernel c2 formulation costs

@@ -296,8 +296,8 @@ def apply_quantized_int8chain(
     leaves the MXU half-empty in BOTH the contraction and output lane
     dims) through the output-pair-packed formulation (ops/wpack.py).
     None = auto = OFF: the isolated triple wins 1.67x at b32
-    (scratch/wpack_triple_probe.py) but the full-chain e2e A/B LOSES
-    (b32: 2164 us wpack vs 1268 us classic, scratch/wpack_ab2.py) —
+    (bench/probes/wpack_triple_probe.py) but the full-chain e2e A/B LOSES
+    (b32: 2164 us wpack vs 1268 us classic, bench/probes/wpack_ab2.py) —
     in-chain, XLA fuses the classic blocks into neighborhoods the packed
     formulation breaks. Same probe-vs-e2e mis-ranking as the 1x1 Pallas
     routing (BENCH_NOTES round 2); kept as an explicit opt-in capability.

@@ -20,7 +20,7 @@ This module reformulates the conv so the MXU is full:
 
 Useful-MAC ceiling: 75% (vs 50% for the classic formulation); performed
 MACs inflate 4/3 but run ~2x denser. Measured with the requant epilogue
-fused (scratch/wpack_probe2.py, TPU v5e, b32 56x56x64->64): classic XLA
+fused (bench/probes/wpack_probe2.py, TPU v5e, b32 56x56x64->64): classic XLA
 58.7 us (126 useful TOPS) vs packed-DOMAIN-RESIDENT 25.2 us (293 useful
 TOPS, ~100% performed MXU) — the one standard-shape formulation that
 beats XLA's own conv emitter, because the emitter cannot re-associate
@@ -135,10 +135,10 @@ def qconv3x3_wpack(
 #   c3 (1x1 64->B): becomes a block-diagonal 128 -> 2B conv on the packed
 #     input; its (W/2, 2B) output reshapes to (W, B) along 128-aligned lane
 #     groups (a real memory identity). Same 50% ratio as the classic K=64.
-# Measured (scratch/wpack_triple_probe.py, bit-exact, interleaved min):
+# Measured (bench/probes/wpack_triple_probe.py, bit-exact, interleaved min):
 # full l1 triple 1.82x at b8, 1.67x at b32, 1.03x at b128.
 #
-# E2E VERDICT (scratch/wpack_ab2.py, interleaved min-of-2): routing the
+# E2E VERDICT (bench/probes/wpack_ab2.py, interleaved min-of-2): routing the
 # packed triple into the full ResNet-50 int8 chain LOSES at b32 — 2164 us
 # vs 1268 us classic (with fused stem; 2598 vs 1854 with classic stem).
 # In-chain, XLA fuses the classic blocks into cross-layer neighborhoods
