@@ -95,3 +95,61 @@ def qconv2d_tp_ring(
     if relu:
         out = jnp.maximum(out, 0.0)
     return ring_all_gather(out, MODEL_AXIS)
+
+
+def qconv2d_tp_cshard(
+    x: jax.Array,                 # (N/dp, H, W, C/tp) int8, C-sharded
+    w: jax.Array,                 # (KH, KW, C/tp, K) int8, C-sharded
+    scale: jax.Array,             # (K,) f32 combined scale (replicated)
+    bias: Optional[jax.Array],    # (K,) f32 or None
+    *,
+    stride=(1, 1),
+    padding=(1, 1),
+    relu: bool = False,
+    scatter: bool = True,
+) -> jax.Array:
+    """Body of a shard_map-ed INPUT-channel-sharded conv (SURVEY.md §2
+    parallelism table: "reduce-scatter for C-sharded convs").
+
+    Each device convolves its C/tp input-channel slice against the matching
+    weight slice (partial int32 accumulation — exact: int32 partial sums
+    commute), then combines over the model axis:
+
+      scatter=True  -> psum_scatter over the K dim: the output comes back
+        K-SHARDED, which is exactly the input layout of a following
+        K-sharded (all-gather) layer — the classic alternating TP pattern
+        moving half the bytes of an all-reduce per layer pair.
+      scatter=False -> full psum (all-reduce): replicated output.
+
+    The float epilogue runs AFTER the collective on the int32 sum (the
+    partial scales are identical per shard, so epilogue-after-psum is
+    bit-exact vs the unsharded conv + epilogue).
+
+    Use with:
+      shard_map(qconv2d_tp_cshard, mesh=mesh,
+                in_specs=(P(DATA, None, None, MODEL),
+                          P(None, None, MODEL, None), P(), P()),
+                out_specs=P(DATA, None, None, MODEL if scatter else None))
+    """
+    ph, pw = padding
+    acc = jax.lax.conv_general_dilated(
+        x, w, stride, ((ph, ph), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    if scatter:
+        acc = jax.lax.psum_scatter(acc, MODEL_AXIS, scatter_dimension=3,
+                                   tiled=True)
+        tp = jax.lax.axis_size(MODEL_AXIS)
+        r = jax.lax.axis_index(MODEL_AXIS)
+        k = scale.shape[0] // tp
+        scale = jax.lax.dynamic_slice_in_dim(scale, r * k, k)
+        if bias is not None:
+            bias = jax.lax.dynamic_slice_in_dim(bias, r * k, k)
+    else:
+        acc = jax.lax.psum(acc, MODEL_AXIS)
+    out = acc.astype(jnp.float32) * scale.reshape(1, 1, 1, -1)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out

@@ -94,3 +94,37 @@ def test_qconv2d_tp_ring_matches_dense():
         preferred_element_type=jnp.int32)
     ref = jnp.maximum(acc.astype(jnp.float32) * scale + bias, 0.0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("scatter", [True, False])
+def test_qconv2d_tp_cshard_matches_dense(scatter):
+    """Input-channel-sharded conv (partial int32 acc + reduce-scatter /
+    all-reduce over the model axis) is bit-exact vs the unsharded conv."""
+    from jax import shard_map
+    from lowbitdnn_project_tpu.parallel.collective import qconv2d_tp_cshard
+
+    mesh = make_mesh(dp=2, tp=4)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.integers(-5, 6, (8, 8, 8, 32)), jnp.int8)
+    w = jnp.asarray(rng.integers(-5, 6, (3, 3, 32, 64)), jnp.int8)
+    scale = jnp.linspace(0.01, 0.03, 64).astype(jnp.float32)
+    bias = jnp.linspace(-1, 1, 64).astype(jnp.float32)
+
+    f = shard_map(
+        lambda xx, ww, ss, bb: qconv2d_tp_cshard(
+            xx, ww, ss, bb, padding=(1, 1), relu=True, scatter=scatter),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None, MODEL_AXIS),
+                  P(None, None, MODEL_AXIS, None),
+                  P(), P()),
+        out_specs=P(DATA_AXIS, None, None,
+                    MODEL_AXIS if scatter else None),
+        check_vma=False)
+    got = f(x, w, scale, bias)
+
+    acc = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    ref = jnp.maximum(acc.astype(jnp.float32) * scale + bias, 0.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
