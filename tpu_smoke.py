@@ -86,6 +86,57 @@ def main():
     assert np.isfinite(
         np.asarray(from_flat(ob, m)).astype(np.float32)).all()
     print("block_flat: ok", flush=True)
+
+    # --- fused stem kernel (routed in the flagship config, batch<=64) ---
+    from lowbitdnn_project_tpu.kernels.stem_fused import stem_conv_pool_fused
+    from lowbitdnn_project_tpu.quant.qtensor import QTensor
+
+    xs = QTensor(values=jnp.asarray(
+        rng.integers(-100, 101, (2, 224, 224, 3)), jnp.int8),
+        scale=jnp.float32(0.02))
+    ws = quantize(jnp.asarray(
+        rng.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1), axis=3)
+    bs = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    got = stem_conv_pool_fused(xs, ws, bs, 0.05, relu=True)
+    ref = qconv2d(xs, ws, bs, stride=2, padding=3, relu=True, out_scale=0.05)
+    ref = qmax_pool2d(ref, 3, 2, 1)
+    d = np.abs(np.asarray(got.values, np.int32)
+               - np.asarray(ref.values, np.int32))
+    assert d.max() <= 1, d.max()
+    print(f"stem_fused: |delta|<=1 ok (n_diff {(d > 0).sum()})", flush=True)
+
+    # --- output-pair-packed 3x3 (the domain-resident emitter win) ---
+    xw = quantize(jnp.asarray(
+        rng.normal(size=(2, 56, 56, 64)).astype(np.float32)))
+    ww = quantize(jnp.asarray(
+        rng.normal(size=(3, 3, 64, 64)).astype(np.float32) * .1), axis=3)
+    gw = qconv2d(xw, ww, padding=1, relu=True, out_scale=0.05,
+                 backend="wpack")
+    rw = qconv2d(xw, ww, padding=1, relu=True, out_scale=0.05, backend="xla")
+    assert (np.asarray(gw.values) == np.asarray(rw.values)).all()
+    print("wpack: bit-exact", flush=True)
+
+    # --- fused layer1 block (lab gen v5, kept as history) ---
+    from lowbitdnn_project_tpu.kernels.block_l1 import bottleneck_l1_fused
+    from lowbitdnn_project_tpu.models.layers import QConvParams
+
+    mkp = lambda kh, kw, ci, co: QConvParams(
+        weight=quantize(jnp.asarray(
+            rng.normal(size=(kh, kw, ci, co)) * 0.2, np.float32), axis=3),
+        bias=jnp.asarray(rng.normal(size=(co,)), jnp.float32))
+    p1, p2, p3 = mkp(1, 1, 256, 64), mkp(3, 3, 64, 64), mkp(1, 1, 64, 256)
+    xb = quantize(jnp.asarray(
+        rng.normal(size=(1, 56, 56, 256)).astype(np.float32)))
+    h = qconv2d(xb, p1.weight, p1.bias, relu=True, out_scale=0.05)
+    h = qconv2d(h, p2.weight, p2.bias, padding=1, relu=True, out_scale=0.06)
+    h = qconv2d(h, p3.weight, p3.bias, relu=False, out_dtype=jnp.bfloat16)
+    ident = (xb.values.astype(jnp.float32) * xb.scale).astype(jnp.bfloat16)
+    refb = quantize(jnp.maximum(h + ident, 0.0), scale=jnp.float32(0.07))
+    gotb = bottleneck_l1_fused(xb, p1, p2, p3, 0.05, 0.06, 0.07)
+    db = np.abs(np.asarray(refb.values, np.int32)
+                - np.asarray(gotb.values, np.int32))
+    assert db.max() <= 1, db.max()
+    print(f"block_l1: |delta|<=1 ok (n_diff {(db > 0).sum()})", flush=True)
     print("TPU SMOKE OK")
 
 
