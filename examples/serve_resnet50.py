@@ -18,7 +18,7 @@ import numpy as np
 
 from lowbitdnn_project_tpu.models import resnet
 from lowbitdnn_project_tpu.quant.qtensor import QTensor
-from lowbitdnn_project_tpu.runtime import preprocess_quantize
+from lowbitdnn_project_tpu.runtime import PrefetchLoader, preprocess_quantize
 from lowbitdnn_project_tpu.utils import load_quantized, save_quantized
 
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
@@ -112,6 +112,24 @@ def main():
     t0 = time.perf_counter()
     x_int8 = preprocess_quantize(raw, IMAGENET_MEAN, IMAGENET_STD, in_scale)
     t1 = time.perf_counter()
+
+    # threaded prefetching variant: C++ workers preprocess the NEXT batches
+    # while the device computes the current one (runtime/native.py
+    # PrefetchLoader) — the steady-state throughput input stage
+    with PrefetchLoader(IMAGENET_MEAN, IMAGENET_STD, in_scale,
+                        n_threads=4, capacity=4) as loader:
+        raw_stream = [rng.integers(0, 256, (32, 224, 224, 3)).astype(np.uint8)
+                      for _ in range(4)]
+        tp0 = time.perf_counter()
+        for r in raw_stream:
+            loader.submit(r)
+        fetched = [loader.get() for _ in raw_stream]
+        tp1 = time.perf_counter()
+    ref0 = preprocess_quantize(raw_stream[0], IMAGENET_MEAN, IMAGENET_STD,
+                               in_scale)
+    assert np.array_equal(fetched[0], ref0)
+    print(f"prefetch loader: 4x32 imgs in {1000 * (tp1 - tp0):.1f} ms "
+          f"(4 C++ threads, FIFO, backpressured)")
     # int8 feeds the chain directly as a QTensor — no float round-trip
     x_q = QTensor(values=jnp.asarray(x_int8), scale=jnp.float32(in_scale))
     logits = infer(qparams, x_q)

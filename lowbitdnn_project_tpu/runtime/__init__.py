@@ -1,6 +1,7 @@
 """Native host-side runtime: C++ conv oracle + data pipeline (ctypes)."""
 
 from lowbitdnn_project_tpu.runtime.native import (
+    PrefetchLoader,
     load,
     pack_int4_native,
     preprocess_quantize,
@@ -9,6 +10,7 @@ from lowbitdnn_project_tpu.runtime.native import (
 )
 
 __all__ = [
+    "PrefetchLoader",
     "load",
     "refconv2d_int8",
     "preprocess_quantize",

@@ -16,6 +16,12 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <condition_variable>
+#include <map>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -114,6 +120,154 @@ int omp_max_threads() {
 #else
   return 1;
 #endif
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded prefetching data loader: worker threads run the fused
+// normalize+quantize on raw uint8 batches while the TPU computes — the
+// native data-pipeline stage a serving deployment needs (the reference has
+// no loader; its input path is eager torch quantize, quantization.py:113-141).
+//
+// Semantics: FIFO (submission order preserved via sequence tags) with a
+// bounded job queue for backpressure. Pure C++ threads — safe to block in
+// via ctypes (the GIL is released during the call).
+
+namespace {
+
+struct RawJob {
+  uint64_t seq;
+  int n;
+  std::vector<uint8_t> raw;
+};
+
+struct ReadyBatch {
+  int n;
+  std::vector<int8_t> data;
+};
+
+struct Loader {
+  int h = 0, w = 0, c = 0;
+  std::vector<float> mean, stdv;
+  float act_scale = 1.0f;
+  size_t capacity = 4;
+
+  std::mutex mu;
+  std::condition_variable cv_job, cv_ready, cv_space;
+  std::queue<RawJob> jobs;
+  std::map<uint64_t, ReadyBatch> ready;   // ordered by seq
+  uint64_t next_submit = 0, next_emit = 0;
+  bool stopping = false;
+  std::vector<std::thread> workers;
+
+  void work() {
+    for (;;) {
+      RawJob job;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_job.wait(lk, [&] { return stopping || !jobs.empty(); });
+        if (stopping && jobs.empty()) return;
+        job = std::move(jobs.front());
+        jobs.pop();
+        cv_space.notify_all();
+      }
+      ReadyBatch out;
+      out.n = job.n;
+      out.data.resize((size_t)job.n * h * w * c);
+      const float inv = 1.0f / act_scale;
+      const int64_t pixels = (int64_t)job.n * h * w;
+      for (int64_t i = 0; i < pixels; ++i) {
+        const uint8_t* px = job.raw.data() + i * c;
+        int8_t* po = out.data.data() + i * c;
+        for (int ci = 0; ci < c; ++ci) {
+          float v = ((float)px[ci] / 255.0f - mean[ci]) / stdv[ci];
+          float q = nearbyintf(v * inv);
+          q = q < -127.f ? -127.f : (q > 127.f ? 127.f : q);
+          po[ci] = (int8_t)q;
+        }
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        ready.emplace(job.seq, std::move(out));
+      }
+      cv_ready.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* loader_create(int n_threads, int h, int w, int c,
+                    const float* mean, const float* stdv,
+                    float act_scale, int capacity) {
+  auto* L = new Loader();
+  L->h = h; L->w = w; L->c = c;
+  L->mean.assign(mean, mean + c);
+  L->stdv.assign(stdv, stdv + c);
+  L->act_scale = act_scale;
+  L->capacity = capacity > 0 ? (size_t)capacity : 4;
+  if (n_threads < 1) n_threads = 1;
+  for (int t = 0; t < n_threads; ++t)
+    L->workers.emplace_back([L] { L->work(); });
+  return L;
+}
+
+// Enqueue n raw HWC uint8 images (copied); blocks when `capacity` jobs are
+// already waiting (backpressure). Returns the job's sequence number.
+int64_t loader_submit(void* handle, const uint8_t* imgs, int n) {
+  auto* L = (Loader*)handle;
+  RawJob job;
+  job.n = n;
+  job.raw.assign(imgs, imgs + (size_t)n * L->h * L->w * L->c);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_space.wait(lk, [&] { return L->jobs.size() < L->capacity; });
+  job.seq = L->next_submit++;
+  const int64_t seq = (int64_t)job.seq;
+  L->jobs.push(std::move(job));
+  L->cv_job.notify_one();
+  return seq;
+}
+
+// Blocking pop of the next batch IN SUBMISSION ORDER into `out`
+// (caller-sized for the submitted n). Returns n, or -1 if the loader was
+// stopped with nothing pending.
+int loader_next(void* handle, int8_t* out) {
+  auto* L = (Loader*)handle;
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_ready.wait(lk, [&] {
+    return L->ready.count(L->next_emit) > 0 ||
+           (L->stopping && L->next_emit >= L->next_submit);
+  });
+  auto it = L->ready.find(L->next_emit);
+  if (it == L->ready.end()) return -1;
+  ReadyBatch b = std::move(it->second);
+  L->ready.erase(it);
+  L->next_emit++;
+  lk.unlock();
+  std::memcpy(out, b.data.data(), b.data.size());
+  return b.n;
+}
+
+// Batches submitted but not yet emitted.
+int loader_pending(void* handle) {
+  auto* L = (Loader*)handle;
+  std::lock_guard<std::mutex> lk(L->mu);
+  return (int)(L->next_submit - L->next_emit);
+}
+
+void loader_destroy(void* handle) {
+  auto* L = (Loader*)handle;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stopping = true;
+  }
+  L->cv_job.notify_all();
+  L->cv_ready.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
 }
 
 }  // extern "C"

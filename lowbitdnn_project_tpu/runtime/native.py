@@ -47,6 +47,17 @@ def load() -> ctypes.CDLL:
         lib.pack_int4.argtypes = [i8p, u8p, ctypes.c_int64]
         lib.unpack_int4.argtypes = [u8p, i8p, ctypes.c_int64]
         lib.omp_max_threads.restype = ctypes.c_int
+        lib.loader_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, f32p, ctypes.c_float, ctypes.c_int]
+        lib.loader_create.restype = ctypes.c_void_p
+        lib.loader_submit.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
+        lib.loader_submit.restype = ctypes.c_int64
+        lib.loader_next.argtypes = [ctypes.c_void_p, i8p]
+        lib.loader_next.restype = ctypes.c_int
+        lib.loader_pending.argtypes = [ctypes.c_void_p]
+        lib.loader_pending.restype = ctypes.c_int
+        lib.loader_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
 
@@ -109,6 +120,74 @@ def pack_int4_native(vals: np.ndarray) -> np.ndarray:
     lib.pack_int4(_ptr(flat, ctypes.c_int8), _ptr(out, ctypes.c_uint8),
                   flat.size // 2)
     return out.reshape(*vals.shape[:-1], vals.shape[-1] // 2)
+
+
+class PrefetchLoader:
+    """Threaded native data pipeline: C++ worker threads run the fused
+    normalize+quantize (uint8 HWC -> int8 NHWC) on submitted raw batches
+    while the device computes. FIFO (submission order), bounded job queue
+    for backpressure, ctypes calls release the GIL so `get()` blocking in
+    C++ never stalls the workers.
+
+    Usage (see examples/serve_resnet50.py):
+        with PrefetchLoader(mean, std, act_scale, hw=(224, 224)) as ld:
+            for raw in raw_batches: ld.submit(raw)
+            for _ in raw_batches: x_int8 = ld.get()
+    """
+
+    def __init__(self, mean: np.ndarray, std: np.ndarray, act_scale: float,
+                 hw=(224, 224), channels: int = 3, n_threads: int = 4,
+                 capacity: int = 4):
+        self._lib = load()
+        self._h, self._w, self._c = hw[0], hw[1], channels
+        mean = np.ascontiguousarray(mean, np.float32)
+        std = np.ascontiguousarray(std, np.float32)
+        assert mean.size == self._c and std.size == self._c
+        self._sizes: "list[int]" = []
+        self._handle = self._lib.loader_create(
+            int(n_threads), self._h, self._w, self._c,
+            _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
+            ctypes.c_float(float(act_scale)), int(capacity))
+
+    def submit(self, imgs: np.ndarray) -> None:
+        """Enqueue a (N,H,W,C) uint8 batch; blocks when `capacity` raw jobs
+        are already waiting."""
+        imgs = np.ascontiguousarray(imgs, np.uint8)
+        n, h, w, c = imgs.shape
+        assert (h, w, c) == (self._h, self._w, self._c), imgs.shape
+        self._lib.loader_submit(self._handle, _ptr(imgs, ctypes.c_uint8), n)
+        self._sizes.append(n)
+
+    def get(self) -> np.ndarray:
+        """Blocking pop of the next preprocessed int8 batch, in submission
+        order."""
+        if not self._sizes:
+            raise RuntimeError("PrefetchLoader.get() with nothing submitted")
+        n = self._sizes.pop(0)
+        out = np.empty((n, self._h, self._w, self._c), np.int8)
+        got = self._lib.loader_next(self._handle, _ptr(out, ctypes.c_int8))
+        assert got == n, (got, n)
+        return out
+
+    def pending(self) -> int:
+        return int(self._lib.loader_pending(self._handle))
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def unpack_int4_native(packed: np.ndarray) -> np.ndarray:

@@ -59,3 +59,45 @@ def test_native_int4_matches_jax(rng):
     np.testing.assert_array_equal(unpack_int4_native(packed_native), vals)
     np.testing.assert_array_equal(
         np.asarray(unpack_int4(jnp.asarray(packed_native))), vals)
+
+
+def test_prefetch_loader_matches_sync(rng):
+    """The threaded loader's output equals the synchronous
+    preprocess_quantize, batch-for-batch in submission order."""
+    from lowbitdnn_project_tpu.runtime import PrefetchLoader, preprocess_quantize
+
+    mean = np.asarray([0.4, 0.45, 0.5], np.float32)
+    std = np.asarray([0.2, 0.25, 0.3], np.float32)
+    raws = [rng.integers(0, 256, (n, 16, 16, 3)).astype(np.uint8)
+            for n in (4, 2, 6, 1)]
+    with PrefetchLoader(mean, std, 0.02, hw=(16, 16), n_threads=3,
+                        capacity=2) as ld:
+        for r in raws:
+            ld.submit(r)
+        outs = [ld.get() for _ in raws]
+    for r, o in zip(raws, outs):
+        ref = preprocess_quantize(r, mean, std, 0.02)
+        np.testing.assert_array_equal(ref, o)
+
+
+def test_prefetch_loader_interleaved(rng):
+    """submit/get interleaving with backpressure keeps FIFO order."""
+    from lowbitdnn_project_tpu.runtime import PrefetchLoader, preprocess_quantize
+
+    mean = np.zeros((3,), np.float32) + 0.5
+    std = np.ones((3,), np.float32)
+    with PrefetchLoader(mean, std, 0.01, hw=(8, 8), n_threads=2,
+                        capacity=1) as ld:
+        raws = []
+        for i in range(6):
+            r = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+            raws.append(r)
+            ld.submit(r)
+            if i % 2:
+                o = ld.get()
+                ref = preprocess_quantize(raws.pop(0), mean, std, 0.01)
+                np.testing.assert_array_equal(ref, o)
+        while raws:
+            np.testing.assert_array_equal(
+                preprocess_quantize(raws.pop(0), mean, std, 0.01), ld.get())
+        assert ld.pending() == 0
