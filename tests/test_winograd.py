@@ -76,3 +76,33 @@ def test_epilogue_relu_bias_requant(rng):
     want = np.clip(np.round(np.asarray(want_f) / 0.3), -127, 127)
     d = np.abs(np.asarray(out.values, np.int32) - want.astype(np.int32))
     assert d.max() <= 1
+
+
+def test_int4_weight_winograd_path(rng):
+    """BASELINE config 5: INT4 weight-only storage + INT8 activations +
+    Winograd INT8 3x3. Weights live nibble-packed (checkpoint format),
+    unpack to int8 values in [-7, 7], transform into the Winograd domain,
+    and run the int8 winograd conv — error bounded like the int8 mode."""
+    from lowbitdnn_project_tpu.quant import quantize
+    from lowbitdnn_project_tpu.quant.int4 import pack_int4, unpack_int4
+
+    n, h, w, c, k = 2, 8, 8, 32, 16
+    wf = jnp.asarray(rng.normal(size=(3, 3, c, k)) * 0.2, jnp.float32)
+    w4 = quantize(wf, bits=4, axis=3)               # int4 values, int8 store
+    packed = pack_int4(w4.values)                   # (3,3,c,k//2) nibbles
+    assert packed.dtype == jnp.uint8 and packed.shape == (3, 3, c, k // 2)
+    restored = QTensor(values=unpack_int4(packed), scale=w4.scale,
+                       bits=4, axis=3)
+    np.testing.assert_array_equal(np.asarray(restored.values),
+                                  np.asarray(w4.values))
+
+    x = _qt(rng.integers(-50, 51, (n, h, w, c)), scale=0.1)
+    u, us = wino_quantize_filter(
+        QTensor(values=restored.values, scale=restored.scale, bits=8,
+                axis=3), mode="int8")
+    got = qconv2d_winograd(x, u, us, mode="int8")
+    acc = conv2d_int32(x.values, restored.values, (1, 1), (1, 1))
+    want = np.asarray(acc.astype(jnp.float32) * 0.1 * np.asarray(
+        restored.scale).reshape(1, 1, 1, k))
+    rel = np.linalg.norm(np.asarray(got) - want) / np.linalg.norm(want)
+    assert rel < 0.05, rel
