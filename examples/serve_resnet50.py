@@ -75,14 +75,28 @@ class MicroBatchServer:
             if pad:
                 xs = np.concatenate([xs, np.zeros((pad,) + xs.shape[1:],
                                                   xs.dtype)])
-            x_q = QTensor(values=jnp.asarray(xs), scale=self.in_scale)
-            logits = np.asarray(self.infer(self.qparams, x_q))
+            try:
+                x_q = QTensor(values=jnp.asarray(xs), scale=self.in_scale)
+                logits = np.asarray(self.infer(self.qparams, x_q))
+            except Exception as e:   # device hiccup: fail THESE requests,
+                for _, out in batch:  # keep the worker alive for the rest
+                    out.put(e)
+                continue
             for (_, out), row in zip(batch, logits):
                 out.put(row)
 
     def shutdown(self):
         self._stop.set()
         self.thread.join()
+
+    @staticmethod
+    def result(out: "queue.Queue", timeout=None):
+        """Pop a result; re-raises the server-side exception if the batch
+        failed (so callers never hang on a dead inference)."""
+        r = out.get(timeout=timeout)
+        if isinstance(r, Exception):
+            raise r
+        return r
 
 
 def main():
@@ -142,7 +156,7 @@ def main():
     server = MicroBatchServer(infer, qparams, in_scale, max_batch=8)
     t0 = time.perf_counter()
     futures = [server.submit(np.asarray(x_int8[i])) for i in range(16)]
-    rows = [f.get(timeout=120) for f in futures]
+    rows = [MicroBatchServer.result(f, timeout=120) for f in futures]
     t1 = time.perf_counter()
     server.shutdown()
     top1_served = [int(np.argmax(r)) for r in rows]

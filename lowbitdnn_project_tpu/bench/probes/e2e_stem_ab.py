@@ -28,7 +28,10 @@ def build():
     return resnet.quantize_params(params, CFG, bits=8)
 
 qp8 = build()
-with open("bench_cache.json") as f:
+import os
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", "..", "..", "bench_cache.json")
+with open(_CACHE) as f:
     act_scales = {k: jnp.asarray(v, jnp.float32)
                   for k, v in json.load(f)["act_scales"].items()}
 mark("params ready")

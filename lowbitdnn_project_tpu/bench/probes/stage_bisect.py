@@ -19,15 +19,21 @@ def build():
     params = resnet.init_params(jax.random.key(0), cfg)
     return resnet.quantize_params(params, cfg)
 qp = build()
-with open("/root/repo/bench_cache.json") as f:
+import os
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", "..", "..", "bench_cache.json")
+with open(_CACHE) as f:
     scales = {k: jnp.asarray(v, jnp.float32)
               for k, v in json.load(f)["act_scales"].items()}
 x = jax.random.normal(jax.random.key(1), (batch, 224, 224, 3))
 
 def mkstep(stage):
-    def step(carry):
+    # params/scales ride through args= (NOT the closure): closed-over
+    # pytrees become XLA constants and a ResNet-50-sized executable takes
+    # minutes to push through the KB/s relay (utils/timing.py docstring)
+    def step(carry, qp_, sc_):
         out = resnet.apply_quantized_int8chain(
-            qp, carry, scales, cfg, stem_backend=stem,
+            qp_, carry, sc_, cfg, stem_backend=stem,
             stop_after_stage=stage)
         v = out.values if hasattr(out, "values") else out
         return chain_via_scalar(carry, v)
@@ -37,7 +43,8 @@ stages = [0, 1, 2, 3, 4, None]
 best = {}
 for _ in range(2):
     for st in stages:
-        t = chained_device_time(mkstep(st), x, lo=20, hi=220)
+        t = chained_device_time(mkstep(st), x, lo=20, hi=220,
+                                args=(qp, scales))
         key = "full" if st is None else f"s{st}"
         best[key] = min(best.get(key, 1e9), t)
 prev = 0.0

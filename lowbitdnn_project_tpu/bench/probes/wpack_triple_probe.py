@@ -17,7 +17,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lowbitdnn_project_tpu.utils.timing import chained_device_time, chain_via_scalar
-from lowbitdnn_project_tpu.ops.wpack import pack_wpair_weights
+from lowbitdnn_project_tpu.ops.wpack import (
+    pack_entry_1x1_weights, pack_exit_1x1_weights, pack_wpair_weights)
 
 DN = ("NHWC", "HWIO", "NHWC")
 
@@ -41,22 +42,10 @@ def classic_triple(x, w1, w2, w3):
     return rq(conv(h2, w3), 0.001, relu=False)
 
 
-def pack_c1(w1):
-    """(1,1,A,64) -> (1,2,A,128): col0 -> slot p=0, col1 -> slot p=1."""
-    a, k = w1.shape[2], w1.shape[3]
-    wp = np.zeros((1, 2, a, 2 * k), np.int8)
-    wp[0, 0, :, :k] = np.asarray(w1[0, 0])
-    wp[0, 1, :, k:] = np.asarray(w1[0, 0])
-    return jnp.asarray(wp)
-
-
-def pack_c3(w3):
-    """(1,1,64,B) -> (1,1,128,2B): block-diag (p==j)."""
-    c, b = w3.shape[2], w3.shape[3]
-    wp = np.zeros((1, 1, 2 * c, 2 * b), np.int8)
-    wp[0, 0, :c, :b] = np.asarray(w3[0, 0])
-    wp[0, 0, c:, b:] = np.asarray(w3[0, 0])
-    return jnp.asarray(wp)
+# entry/exit pack helpers come from ops.wpack so this probe keeps
+# measuring the SHIPPED layouts (it is the committed A/B evidence)
+pack_c1 = pack_entry_1x1_weights
+pack_c3 = pack_exit_1x1_weights
 
 
 def packed_triple(x, w1p, w2p, w3p, mask):

@@ -170,7 +170,7 @@ def _block_l1_call(x, scal, a1, b1, a2, b2, a3, b3, ad, bd,
             vec(1, out_c), vec(1, out_c), vec(1, out_c), vec(1, out_c),
             vec(a_pad, cmid), vec(_KPAD, cmid), vec(cmid, out_c),
             vec(a_pad, out_c),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, h // 2, h, out_c),
                                lambda i, j: (i, j, 0, 0),

@@ -72,11 +72,28 @@ def make_qconv2d_train(padding: int = 1, quantized_grads: bool = True):
             ).astype(jnp.float32) * (gs * ws)
             # grad_weight: correlation x ⋆ g as an int8 conv with batch
             # contracted (int32-exact; the float-conv formulation loses
-            # bits past 2^24 when N*OH*OW accumulations get large)
-            gw = conv2d_int32(
-                xq.transpose(3, 1, 2, 0), gq8.transpose(1, 2, 0, 3), (1, 1),
-                (padding, padding),
-            ).astype(jnp.float32).transpose(1, 2, 0, 3) * (_xs * gs)
+            # bits past 2^24 when N*OH*OW accumulations get large).
+            # int32 itself wraps past 2^31: the contraction length is
+            # N*OH*OW and the worst-case per-product magnitude 127², so
+            # batches are chunked to keep N_c*OH*OW within the provably
+            # safe bound and the chunk sums accumulate in f32. (Within one
+            # image, OH*OW beyond the bound keeps the reference's own
+            # residual int32 assumption — cuDNN int8 backward had the
+            # identical accumulator, qconv2d.py:91-114.)
+            def gw_chunk(xc, gc):
+                return conv2d_int32(
+                    xc.transpose(3, 1, 2, 0), gc.transpose(1, 2, 0, 3),
+                    (1, 1), (padding, padding)).astype(jnp.float32)
+
+            nimg, oh, ow = x.shape[0], g.shape[1], g.shape[2]
+            bound = (2 ** 31 - 1) // (127 * 127)
+            if nimg * oh * ow <= bound:
+                gw32 = gw_chunk(xq, gq8)
+            else:
+                nc = max(1, bound // (oh * ow))
+                gw32 = sum(gw_chunk(xq[i:i + nc], gq8[i:i + nc])
+                           for i in range(0, nimg, nc))
+            gw = gw32.transpose(1, 2, 0, 3) * (_xs * gs)
         else:
             gx = jax.lax.conv_general_dilated(
                 g, w[::-1, ::-1].transpose(0, 1, 3, 2), (1, 1),

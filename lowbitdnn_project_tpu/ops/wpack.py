@@ -102,19 +102,10 @@ def qconv3x3_wpack(
         xp, wp, (1, 1), ((1, 1), (0, 0)),
         dimension_numbers=DIMSPEC, preferred_element_type=jnp.int32)
 
-    # epilogue in packed layout (int8 out => half the unpack bytes); the
-    # per-output-channel scale/bias tile x2 across the (j, o) lane dim
-    ws = w_q.scale_vector()
-    scale = jnp.broadcast_to(
-        (x_q.scale * ws).astype(jnp.float32).reshape(-1), (k,))
-    out = acc.astype(jnp.float32) * jnp.tile(scale, 2)
-    if bias is not None:
-        out = out + jnp.tile(jnp.asarray(bias, jnp.float32), 2)
-    if relu:
-        out = jnp.maximum(out, 0.0)
+    # epilogue in packed layout (int8 out => half the unpack bytes);
+    # shared with qbottleneck_wpack so the two paths cannot desynchronize
+    out = _packed_epilogue(acc, x_q.scale, w_q, bias, relu, out_scale)
     if out_scale is not None:
-        q = jnp.round(out * (1.0 / jnp.asarray(out_scale, jnp.float32)))
-        out = jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
         out = out.reshape(n, h, wdim, k)  # unpack: memory identity
         return QTensor(values=out, scale=jnp.asarray(out_scale, jnp.float32),
                        bits=8, axis=None)

@@ -31,18 +31,19 @@ from lowbitdnn_project_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 def ring_all_gather(y: jax.Array, axis_name: str = MODEL_AXIS) -> jax.Array:
     """All-gather `y` along `axis_name` via a ppermute ring (inside
-    shard_map / pmapped code). Returns the concatenation over devices, in
-    device-rank order along a new leading slot of y's first axis.
+    shard_map / pmapped code). Returns the shards concatenated in
+    device-rank order along the LAST axis (the channel dim for the
+    K-sharded conv below) — i.e. moveaxis(all_gather(y, axis), 0, -2)
+    merged into the last dim, asserted bit-exact vs lax.all_gather in
+    tests/test_collectives.py.
 
-    Equivalent to jax.lax.all_gather(y, axis_name, tiled=True) — asserted
-    bit-exact in tests — but expressed as n-1 neighbor hops that the
-    scheduler can overlap with per-chunk consumer work.
+    Expressed as n-1 neighbor hops so the scheduler can overlap each hop
+    with the per-chunk consumer work.
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     chunks = [None] * n
-    chunks_idx = idx
     cur = y
     # walk the ring: after k hops this device holds the chunk of rank idx-k
     for k in range(n):

@@ -216,14 +216,19 @@ void* loader_create(int n_threads, int h, int w, int c,
 }
 
 // Enqueue n raw HWC uint8 images (copied); blocks when `capacity` jobs are
-// already waiting (backpressure). Returns the job's sequence number.
+// already waiting (backpressure). Returns the job's sequence number, or -1
+// if the loader is stopping (a submit racing destroy must not enqueue a
+// job no worker will ever process — that would deadlock loader_next).
 int64_t loader_submit(void* handle, const uint8_t* imgs, int n) {
   auto* L = (Loader*)handle;
   RawJob job;
   job.n = n;
   job.raw.assign(imgs, imgs + (size_t)n * L->h * L->w * L->c);
   std::unique_lock<std::mutex> lk(L->mu);
-  L->cv_space.wait(lk, [&] { return L->jobs.size() < L->capacity; });
+  L->cv_space.wait(lk, [&] {
+    return L->stopping || L->jobs.size() < L->capacity;
+  });
+  if (L->stopping) return -1;
   job.seq = L->next_submit++;
   const int64_t seq = (int64_t)job.seq;
   L->jobs.push(std::move(job));
@@ -266,6 +271,7 @@ void loader_destroy(void* handle) {
   }
   L->cv_job.notify_all();
   L->cv_ready.notify_all();
+  L->cv_space.notify_all();
   for (auto& t : L->workers) t.join();
   delete L;
 }

@@ -155,7 +155,10 @@ class PrefetchLoader:
         imgs = np.ascontiguousarray(imgs, np.uint8)
         n, h, w, c = imgs.shape
         assert (h, w, c) == (self._h, self._w, self._c), imgs.shape
-        self._lib.loader_submit(self._handle, _ptr(imgs, ctypes.c_uint8), n)
+        seq = self._lib.loader_submit(self._handle,
+                                      _ptr(imgs, ctypes.c_uint8), n)
+        if seq < 0:
+            raise RuntimeError("PrefetchLoader.submit() after close()")
         self._sizes.append(n)
 
     def get(self) -> np.ndarray:

@@ -82,3 +82,28 @@ def test_training_reduces_loss(rng):
         w, loss = step(w)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_grad_weight_chunked_matches_unchunked(rng):
+    """Shapes whose N*OH*OW exceeds the provable-int32 bound take the
+    batch-chunked grad_weight path; with small-magnitude values (no
+    overflow either way) it must equal the single-conv formulation."""
+    from lowbitdnn_project_tpu.ops.conv import conv2d_int32
+
+    n, hw, c, k = 180, 28, 2, 3          # 180*28*28 = 141k > 133,152 bound
+    x = jnp.asarray(rng.normal(size=(n, hw, hw, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, c, k)).astype(np.float32)) * 0.1
+    qconv = make_qconv2d_train(padding=1, quantized_grads=True)
+    out, vjp = jax.vjp(qconv, x, w)
+    _, gw = vjp(jnp.ones_like(out) * 1e-3)
+
+    # reference: the exact same quantization + ONE int32 conv (values are
+    # tiny, so the unchunked accumulation cannot wrap here)
+    from lowbitdnn_project_tpu.ops.grad import _quant
+    gq8, gs = _quant(jnp.ones_like(out) * 1e-3)
+    xq, xs = _quant(x)
+    ref = conv2d_int32(
+        xq.transpose(3, 1, 2, 0), gq8.transpose(1, 2, 0, 3), (1, 1),
+        (1, 1)).astype(jnp.float32).transpose(1, 2, 0, 3) * (xs * gs)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
