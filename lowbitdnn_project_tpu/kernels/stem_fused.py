@@ -46,6 +46,17 @@ structure: R=14 row-pairs batched along lanes (N=1792 GEMM) and the
 requant epilogue hoisted PAST the maxpool (monotonicity: alpha>0 affine +
 round + clip all commute with max), so requant touches only pooled rows.
 
+v3 (6-plane layout): drops the 4th zero-pad channel — merged byte 3w'+c,
+taps t in [0,21), K 288 -> 216 (live rows padded to 4x56=224 for the
+bitcast lane-roll). Two implementation lessons (both measured): the
+in-kernel (9,6,128)->(54,128) reshape is a sublane relayout (6 breaks
+tiling) that LOST 4-5% vs v2 despite the smaller K; emitting the planes
+pre-flattened as (N,1392,128) makes every tap slice an 8-aligned flat-row
+window (start 336j+24r, pl.multiple_of hint for the prover) and WINS:
+standalone 1.156x/1.053x/1.060x over v2 at b8/32/64, e2e +1.6% at b8 and
+parity at b32, bit-exact vs v2 on device (bench/probes/stem_v3_ab.py).
+v3 is the routed default; stem_backend="fused2" pins v2.
+
 v2 MEASURED (v5e, bit-exact vs the XLA chain at b8):
   standalone b128: 646 us (+45 us plane prep) vs XLA conv+pool 550 us.
   Stage breakdown (chained-timer ablation): main GEMM+patch build 444
@@ -120,6 +131,59 @@ def stem_plane_filter(w: jax.Array) -> jax.Array:
         g = wext[jnp.asarray(np.minimum(idx[o, 0], wflat_len))]   # (288, 64)
         rows.append(g.T)                                          # (64, 288)
     return jnp.concatenate(rows, axis=0)                          # (128, 288)
+
+
+def stem_plane_input6(x_values: jax.Array) -> jax.Array:
+    """v3 prep: int8 (N,224,224,3) -> byte planes (N, 232, 6, 128).
+
+    Like stem_plane_input but WITHOUT the 4th zero-pad channel: merged
+    byte of padded col w', channel c is 3w'+c, so stem col j's 7x3 window
+    covers bytes 6j+t, t in [0,21) — plane p = t%6, lane shift s = t//6
+    in [0,3]. K drops 288 -> 216 (25% fewer zero-tap MACs than v2's
+    4-channel padding).
+    """
+    n, h, w, c = x_values.shape
+    assert (h, w, c) == (224, 224, 3), (h, w, c)
+    xp = jnp.pad(x_values, ((0, 0), (3, 5), (3, 29), (0, 0)))  # (N,232,256,3)
+    xm = xp.reshape(n, 232, 768).reshape(n, 232, 128, 6)
+    # emitted FLAT as (N, 232*6, 128) so the kernel's 54-row (9 padded
+    # rows x 6 planes) slices start at (56j+4r)*6 = 336j+24r — 8-aligned,
+    # no per-grid-step sublane relayout (the (9,6,128)->(54,128) in-kernel
+    # reshape variant measured a 4-5%% LOSS vs v2 from exactly that)
+    return xm.transpose(0, 1, 3, 2).reshape(n, 232 * 6, 128)
+
+
+def stem_plane_filter6(w: jax.Array) -> jax.Array:
+    """v3: (7,7,3,64) int8 -> the scattered GEMM LHS (128, 216) int8.
+
+    W2[o*64+k, s*54 + u*6 + p]: tap t = 6s+p = 3b+c (b = col tap, c = the
+    real channel — no pad channel in the 6-plane layout)."""
+    kh, kw, c, k = w.shape
+    assert (kh, kw, c, k) == (7, 7, 3, 64), w.shape
+    # K blocks are 54 live rows padded to 56 (pltpu.bitcast needs the
+    # sublane dim divisible by 4 for the int8 lane-roll)
+    idx = np.full((2, 64, 224), 49 * 21, np.int32)     # sentinel = zero row
+    wflat_len = 7 * 7 * 3
+    for o in range(2):
+        for s in range(4):
+            for u in range(9):
+                for p in range(6):
+                    t = 6 * s + p
+                    if t > 20:
+                        continue
+                    b, ch = t // 3, t % 3
+                    a = u - 2 * o
+                    if not (0 <= a <= 6):
+                        continue
+                    col = s * 56 + u * 6 + p
+                    idx[o, :, col] = a * 21 + b * 3 + ch
+    wext = jnp.concatenate(
+        [w.reshape(wflat_len, k), jnp.zeros((1, k), w.dtype)], axis=0)
+    rows = []
+    for o in range(2):
+        g = wext[jnp.asarray(np.minimum(idx[o, 0], wflat_len))]   # (224, 64)
+        rows.append(g.T)                                          # (64, 224)
+    return jnp.concatenate(rows, axis=0)                          # (128, 224)
 
 
 def _pool_select() -> jax.Array:
@@ -244,9 +308,13 @@ def _stem_kernel_v2(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
     alpha = alpha_ref[:]                     # (64, 1) f32
     beta = beta_ref[:]                       # (64, 1) f32
     inv_os = invos_ref[0, 0]                 # f32 scalar
-    w2 = w_ref[:]                            # (128, 288) int8
+    w2 = w_ref[:]                            # (128, 9*planes) int8
     sel_t = selt_ref[:]                      # (64, 128) int8
     wide = 128 * _R
+    flat6 = len(planes_ref.shape) == 3       # v3: (1, 232*6, 128) flat
+    planes = 6 if flat6 else planes_ref.shape[2]
+    kp = 9 * planes                          # live K rows per shift: 72 / 54
+    kq = -(-kp // 4) * 4                     # padded to 4 (bitcast): 72 / 56
 
     @pl.when(j == 0)
     def _init():
@@ -255,8 +323,20 @@ def _stem_kernel_v2(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
     # --- gather the R row-pair plane slices side by side along lanes ---
     def body(x_ref):
         for r in range(_R):
-            x9 = planes_ref[0, pl.ds(56 * j + 4 * r, 9), :, :]
-            x_ref[:, 128 * r:128 * (r + 1)] = x9.reshape(72, 128)
+            if flat6:
+                # load the 8-aligned kq-row window; rows [kp, kq) belong
+                # to the next group and are masked to zero
+                start = pl.multiple_of((56 * j + 4 * r) * 6, 24)
+                blk = planes_ref[0, pl.ds(start, kq), :]
+                rid = jax.lax.broadcasted_iota(jnp.int32, (kq, 128), 0)
+                blk = jnp.where(rid < kp, blk, jnp.int8(0))
+            else:
+                x9 = planes_ref[0, pl.ds(56 * j + 4 * r, 9), :, :]
+                blk = x9.reshape(kp, 128)
+                if kq != kp:
+                    blk = jnp.concatenate(
+                        [blk, jnp.zeros((kq - kp, 128), jnp.int8)], axis=0)
+            x_ref[:, 128 * r:128 * (r + 1)] = blk
         x = x_ref[:]                                         # (72, wide)
         # live lanes per 128-block are [0,112); rolls only pollute dead ones
         x4 = jnp.concatenate(
@@ -293,16 +373,23 @@ def _stem_kernel_v2(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
             out_ref[0, pl.ds(_R * j + r, 1), :, :] = (
                 out_t[0:56, :].reshape(1, 56, 64))
 
-    pl.run_scoped(body, pltpu.VMEM((72, wide), jnp.int8))
+    pl.run_scoped(body, pltpu.VMEM((kq, wide), jnp.int8))
 
 
 @functools.partial(jax.jit, static_argnames=("relu", "interpret"))
 def _stem_fused_call_v2(planes, w2, alpha, beta, inv_os, sel_t,
                         relu: bool, interpret: bool):
     n = planes.shape[0]
+    nplanes = 6 if planes.ndim == 3 else planes.shape[2]
+    kq = -(-9 * nplanes // 4) * 4            # 72 (v2, 8 planes) / 56 (v3, 6)
+    planes_spec = (
+        pl.BlockSpec((1, 232 * 6, 128), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM) if planes.ndim == 3 else
+        pl.BlockSpec((1, 232, nplanes, 128), lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM))
     kernel = functools.partial(_stem_kernel_v2, relu=relu,
                                interpret=interpret)
-    flops = n * 56 * 2 * (128 * 288 * 128 + 64 * 128 * 64)
+    flops = n * 56 * 2 * (128 * 4 * kq * 128 + 64 * 128 * 64)
     return pl.pallas_call(
         kernel,
         grid=(n, 56 // _R),
@@ -313,9 +400,8 @@ def _stem_fused_call_v2(planes, w2, alpha, beta, inv_os, sel_t,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 232, 8, 128), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 288), lambda i, j: (0, 0),
+            planes_spec,
+            pl.BlockSpec((128, 4 * kq), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -390,14 +476,18 @@ def stem_conv_pool_fused(
     ``version`` selects the kernel generation (1 = serial per-row lab
     history, 2 = wide-N + pool-before-requant; see module docstring).
     """
-    planes = stem_plane_input(x_q.values)
-    w2 = stem_plane_filter(w_q.values)
+    if version == 3:
+        planes = stem_plane_input6(x_q.values)
+        w2 = stem_plane_filter6(w_q.values)
+    else:
+        planes = stem_plane_input(x_q.values)
+        w2 = stem_plane_filter(w_q.values)
     k = w_q.shape[3]
     scale = (x_q.scale * w_q.scale_vector()).astype(jnp.float32)
     inv_os = (1.0 / jnp.asarray(out_scale, jnp.float32)).reshape(1, 1)
     bias_v = (jnp.zeros((k,), jnp.float32) if bias is None
               else jnp.asarray(bias, jnp.float32))
-    if version == 2:
+    if version in (2, 3):
         alpha = jnp.broadcast_to(scale.reshape(-1), (k,))
         out = _stem_fused_call_v2(
             planes, w2, alpha.reshape(k, 1), bias_v.reshape(k, 1),

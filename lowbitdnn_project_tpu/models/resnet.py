@@ -356,15 +356,20 @@ def apply_quantized_int8chain(
     # consumed directly — no float round-trip at the serving boundary.
     x_q = x if isinstance(x, QTensor) else quantize(x, scale=s["conv1"])
     w1 = qparams["conv1"].weight
-    use_fused = stem_backend == "fused" or (
+    use_fused = stem_backend in ("fused", "fused2", "fused3") or (
         stem_backend == "auto" and x.shape[0] <= 64
         and x.shape[1:3] == (224, 224) and w1.shape == (7, 7, 3, 64))
     use_s2d = stem_backend == "s2d8"
     if use_fused:
         from lowbitdnn_project_tpu.kernels.stem_fused import (
             stem_conv_pool_fused)
+        # v3 (6-plane, K=216): beats v2 standalone 1.16x/1.05x/1.06x at
+        # b8/32/64 and e2e (bench/probes/stem_v3_ab.py) — the default;
+        # "fused2" pins the v2 generation
         x_q = stem_conv_pool_fused(x_q, w1, qparams["conv1"].bias,
                                    s["layer1.0.conv1"], relu=True,
+                                   version=2 if stem_backend == "fused2"
+                                   else 3,
                                    interpret=interpret)
     elif use_s2d:
         from lowbitdnn_project_tpu.ops.stem import stem_conv_pool_s2d

@@ -38,7 +38,7 @@ def test_plane_input_layout(rng):
         assert got[0, u, p, j] == merged[0, u, 8 * j + p], (u, p, j)
 
 
-@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("version", [1, 2, 3])
 def test_stem_fused_matches_chain(rng, version):
     x = jnp.asarray(rng.normal(size=(2, 224, 224, 3)).astype(np.float32) * 2)
     w = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1)
@@ -58,7 +58,7 @@ def test_stem_fused_matches_chain(rng, version):
     assert (delta > 0).mean() < 1e-3, f"mismatch rate {(delta > 0).mean()}"
 
 
-@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("version", [1, 2, 3])
 def test_stem_fused_no_bias_no_relu(rng, version):
     x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1)
@@ -70,3 +70,20 @@ def test_stem_fused_no_bias_no_relu(rng, version):
     delta = np.abs(np.asarray(got.values, np.int32)
                    - np.asarray(ref.values, np.int32))
     assert delta.max() <= 1, f"max |delta| {delta.max()}"
+
+
+def test_plane_input6_layout(rng):
+    """v3 flat 6-plane prep: planes[n, 6u+p, j] = merged byte 6j+p of
+    padded row u, merged byte 3w'+c (no pad channel)."""
+    from lowbitdnn_project_tpu.kernels.stem_fused import stem_plane_input6
+
+    x = jnp.asarray(rng.integers(-100, 101, (1, 224, 224, 3)), jnp.int8)
+    planes = stem_plane_input6(x)
+    assert planes.shape == (1, 232 * 6, 128)
+    xp = np.asarray(jnp.pad(x, ((0, 0), (3, 5), (3, 29), (0, 0))))
+    merged = xp.reshape(1, 232, 768)
+    pn = np.asarray(planes).reshape(1, 232, 6, 128)
+    for u in (0, 3, 100, 231):
+        for p in (0, 1, 5):
+            for j in (0, 7, 113, 127):
+                assert pn[0, u, p, j] == merged[0, u, 6 * j + p], (u, p, j)
