@@ -55,7 +55,11 @@ pre-flattened as (N,1392,128) makes every tap slice an 8-aligned flat-row
 window (start 336j+24r, pl.multiple_of hint for the prover) and WINS:
 standalone 1.156x/1.053x/1.060x over v2 at b8/32/64, e2e +1.6% at b8 and
 parity at b32, bit-exact vs v2 on device (bench/probes/stem_v3_ab.py).
-v3 is the routed default; stem_backend="fused2" pins v2.
+v3 is the routed default; stem_backend="fused2" pins v2. Row-pairs per
+grid chunk (rp) is tunable; 4-way interleaved A/B (v{2,3} x rp{14,28},
+all bit-exact): v3/rp28 50.3/216.4/414.8 us at b8/32/64 vs v3/rp14
+51.7/219.4/414.1 — rp=28 is the v3 default (deltas <=3%, relay-noise
+scale); v2 prefers rp=14.
 
 v2 MEASURED (v5e, bit-exact vs the XLA chain at b8):
   standalone b128: 646 us (+45 us plane prep) vs XLA conv+pool 550 us.
@@ -288,7 +292,9 @@ def _stem_kernel(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
 # the float epilogue on 4x fewer rows. The inter-pair pool carry rides a
 # VMEM scratch across grid steps (grid = (image, chunk), chunk fastest).
 
-_R = 14            # row-pairs per chunk; 56 pool rows = 4 chunks
+_R = 14            # default row-pairs per chunk (56 pool rows = 4 chunks);
+#                    overridable per call — measured A/B in
+#                    bench/probes/stem_v3_ab.py picks the routed default
 _NEG = -(2 ** 30)  # pool pad; any real int32 acc (|.| <= 288*127^2) wins
 
 
@@ -302,7 +308,7 @@ def _pool_select_t() -> jax.Array:
 
 def _stem_kernel_v2(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
                     selt_ref, out_ref, carry_ref, *, relu: bool,
-                    interpret: bool):
+                    interpret: bool, rp: int = _R):
     roll8 = _roll8_interp if interpret else _roll8
     j = pl.program_id(1)
     alpha = alpha_ref[:]                     # (64, 1) f32
@@ -310,7 +316,7 @@ def _stem_kernel_v2(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
     inv_os = invos_ref[0, 0]                 # f32 scalar
     w2 = w_ref[:]                            # (128, 9*planes) int8
     sel_t = selt_ref[:]                      # (64, 128) int8
-    wide = 128 * _R
+    wide = 128 * rp
     flat6 = len(planes_ref.shape) == 3       # v3: (1, 232*6, 128) flat
     planes = 6 if flat6 else planes_ref.shape[2]
     kp = 9 * planes                          # live K rows per shift: 72 / 54
@@ -322,16 +328,16 @@ def _stem_kernel_v2(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
 
     # --- gather the R row-pair plane slices side by side along lanes ---
     def body(x_ref):
-        for r in range(_R):
+        for r in range(rp):
             if flat6:
                 # load the 8-aligned kq-row window; rows [kp, kq) belong
                 # to the next group and are masked to zero
-                start = pl.multiple_of((56 * j + 4 * r) * 6, 24)
+                start = pl.multiple_of((4 * rp * j + 4 * r) * 6, 24)
                 blk = planes_ref[0, pl.ds(start, kq), :]
                 rid = jax.lax.broadcasted_iota(jnp.int32, (kq, 128), 0)
                 blk = jnp.where(rid < kp, blk, jnp.int8(0))
             else:
-                x9 = planes_ref[0, pl.ds(56 * j + 4 * r, 9), :, :]
+                x9 = planes_ref[0, pl.ds(4 * rp * j + 4 * r, 9), :, :]
                 blk = x9.reshape(kp, 128)
                 if kq != kp:
                     blk = jnp.concatenate(
@@ -365,20 +371,20 @@ def _stem_kernel_v2(alpha_ref, beta_ref, invos_ref, planes_ref, w_ref,
             f = jnp.maximum(f, 0.0)
         q = jnp.clip(jnp.round(f * inv_os), -127.0, 127.0).astype(jnp.int8)
         # --- per pair: stride-2 select + transpose in ONE NT matmul ---
-        for r in range(_R):
+        for r in range(rp):
             out_t = jax.lax.dot_general(
                 sel_t, q[:, 128 * r:128 * (r + 1)],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.int8)  # (64,64)
-            out_ref[0, pl.ds(_R * j + r, 1), :, :] = (
+            out_ref[0, pl.ds(rp * j + r, 1), :, :] = (
                 out_t[0:56, :].reshape(1, 56, 64))
 
     pl.run_scoped(body, pltpu.VMEM((kq, wide), jnp.int8))
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+@functools.partial(jax.jit, static_argnames=("relu", "interpret", "rp"))
 def _stem_fused_call_v2(planes, w2, alpha, beta, inv_os, sel_t,
-                        relu: bool, interpret: bool):
+                        relu: bool, interpret: bool, rp: int = _R):
     n = planes.shape[0]
     nplanes = 6 if planes.ndim == 3 else planes.shape[2]
     kq = -(-9 * nplanes // 4) * 4            # 72 (v2, 8 planes) / 56 (v3, 6)
@@ -388,11 +394,11 @@ def _stem_fused_call_v2(planes, w2, alpha, beta, inv_os, sel_t,
         pl.BlockSpec((1, 232, nplanes, 128), lambda i, j: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM))
     kernel = functools.partial(_stem_kernel_v2, relu=relu,
-                               interpret=interpret)
+                               interpret=interpret, rp=rp)
     flops = n * 56 * 2 * (128 * 4 * kq * 128 + 64 * 128 * 64)
     return pl.pallas_call(
         kernel,
-        grid=(n, 56 // _R),
+        grid=(n, 56 // rp),
         in_specs=[
             pl.BlockSpec((64, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -467,6 +473,7 @@ def stem_conv_pool_fused(
     relu: bool = True,
     interpret: bool = False,
     version: int = 2,
+    row_pairs: Optional[int] = None,
 ) -> QTensor:
     """Fused stem: 7x7/s2/p3 conv + bias/ReLU/requant + 3x3/s2/p1 maxpool.
 
@@ -489,9 +496,13 @@ def stem_conv_pool_fused(
               else jnp.asarray(bias, jnp.float32))
     if version in (2, 3):
         alpha = jnp.broadcast_to(scale.reshape(-1), (k,))
+        # measured per-version best (bench/probes/stem_v3_ab.py, 4-way
+        # interleaved): v3 prefers rp=28 (wins b8/b32, ties b64), v2 rp=14
+        rp = row_pairs if row_pairs is not None else (28 if version == 3 else _R)
+        assert 56 % rp == 0, rp
         out = _stem_fused_call_v2(
             planes, w2, alpha.reshape(k, 1), bias_v.reshape(k, 1),
-            inv_os, _pool_select_t(), relu, interpret)
+            inv_os, _pool_select_t(), relu, interpret, rp)
     else:
         alpha = jnp.tile(jnp.broadcast_to(scale.reshape(-1), (k,)), 2)
         beta = jnp.tile(bias_v, 2)
