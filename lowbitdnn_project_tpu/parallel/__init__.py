@@ -1,4 +1,4 @@
-"""Distributed layer: Mesh construction + DP/TP sharding rules."""
+"""Distributed layer: Mesh construction + DP/TP/SP sharding rules."""
 
 from lowbitdnn_project_tpu.parallel.mesh import (
     DATA_AXIS,
@@ -16,10 +16,18 @@ from lowbitdnn_project_tpu.parallel.collective import (
     qconv2d_tp_ring,
     ring_all_gather,
 )
+from lowbitdnn_project_tpu.parallel.spatial import (
+    halo_exchange_rows,
+    qconv2d_sp,
+    shard_spatial,
+)
 
 __all__ = [
     "ring_all_gather",
     "qconv2d_tp_ring",
+    "halo_exchange_rows",
+    "qconv2d_sp",
+    "shard_spatial",
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",

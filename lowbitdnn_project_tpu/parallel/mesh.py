@@ -6,11 +6,13 @@ batch-parallel over hosts (DCN), channel-sharded weights over ICI.
 
 Axes:
   "data"  — batch parallelism (maps to DCN across hosts, ICI within)
-  "model" — output-channel (K) tensor parallelism (ICI)
+  "model" — output-channel (K) tensor parallelism (ICI); the same axis can
+            instead carry spatial (H) sharding with halo exchange — the CNN
+            analogue of sequence parallelism (parallel/spatial.py)
 
-PP / sequence-parallel / expert-parallel are deliberately absent: a CNN
-inference engine has no pipeline/sequence/expert dimension (SURVEY.md §2
-parallelism table documents the reference's absence of each).
+PP / expert-parallel are deliberately absent: a CNN inference engine has no
+pipeline/expert dimension worth the bubble/dispatch cost at this depth
+(SURVEY.md §2 parallelism table documents the reference's absence of each).
 """
 from __future__ import annotations
 
