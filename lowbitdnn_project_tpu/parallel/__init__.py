@@ -21,6 +21,12 @@ from lowbitdnn_project_tpu.parallel.spatial import (
     qconv2d_sp,
     shard_spatial,
 )
+from lowbitdnn_project_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipeline_apply,
+    run_pipeline,
+    shard_stage_params,
+)
 
 __all__ = [
     "ring_all_gather",
@@ -28,6 +34,10 @@ __all__ = [
     "halo_exchange_rows",
     "qconv2d_sp",
     "shard_spatial",
+    "make_pipeline_mesh",
+    "pipeline_apply",
+    "run_pipeline",
+    "shard_stage_params",
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",

@@ -10,9 +10,10 @@ Axes:
             instead carry spatial (H) sharding with halo exchange — the CNN
             analogue of sequence parallelism (parallel/spatial.py)
 
-PP / expert-parallel are deliberately absent: a CNN inference engine has no
-pipeline/expert dimension worth the bubble/dispatch cost at this depth
-(SURVEY.md §2 parallelism table documents the reference's absence of each).
+PP lives on its own 1-D "stage" mesh (parallel/pipeline.py: GPipe-style
+microbatch pipeline for homogeneous residual towers). Expert parallelism is
+deliberately absent: a CNN engine has no expert dimension (SURVEY.md §2
+parallelism table documents the reference's absence of each).
 """
 from __future__ import annotations
 
