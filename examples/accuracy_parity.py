@@ -1,13 +1,16 @@
-"""Trained-model accuracy parity: FP32 vs INT8 vs W4A8 on a QAT-trained net.
+"""Trained-model accuracy parity: FP32 vs INT8 vs W4A8 on QAT-trained nets.
 
 The BASELINE north star bounds quantized accuracy loss (top-1 within 0.5%
 for INT8, 1.5% for INT4-weight). No ImageNet ships in this zero-egress
-image, so the evidence is a *trained* model on synthetic data — the same
+image, so the evidence is *trained* models on synthetic data — the same
 form of evidence the reference produced with its annealing-trained MNIST
 net (python/tmp.py:123-150): train to real accuracy, quantize, compare.
+Covers BOTH model families (ResNet bottleneck tower, MobileNet-V2 inverted
+residuals w/ depthwise + ReLU6 — the harder case for per-tensor activation
+scales).
 
-Pipeline: synthetic 10-class dataset -> QAT training (STE fake-quant,
-train/qat.py) -> evaluate the SAME checkpoint three ways:
+Pipeline per family: synthetic 10-class dataset -> QAT training (STE
+fake-quant, train/qat.py) -> evaluate the SAME checkpoint three ways:
   fp32   : apply_fp32
   int8   : quantize_params(bits=8) + calibrated int8 chain
   w4a8   : quantize_params(bits=4) weights, int8 activations
@@ -22,11 +25,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lowbitdnn_project_tpu.models import resnet
+from lowbitdnn_project_tpu.models import mobilenet, resnet
 from lowbitdnn_project_tpu.train.qat import make_qat_train_step
 
-CFG = resnet.ResNetConfig(stage_blocks=(1, 1, 1, 1), bottleneck=True,
-                          num_classes=10, width=16)
+RESNET_CFG = resnet.ResNetConfig(stage_blocks=(1, 1, 1, 1), bottleneck=True,
+                                 num_classes=10, width=16)
+MOBILENET_CFG = mobilenet.MobileNetV2Config(
+    stages=((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 2, 2)),
+    num_classes=10, stem_ch=16, head_ch=64)
+
+FAMILIES = {
+    "resnet": (resnet, RESNET_CFG, 3e-3),
+    "mobilenet_v2": (mobilenet, MOBILENET_CFG, 1e-3),
+}
 
 
 def make_templates(rng, num_classes=10, hw=32):
@@ -47,50 +58,56 @@ def accuracy(logits, y):
     return float(jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32)))
 
 
+def run_family(mod, cfg, lr, data, steps, batch, seed):
+    x_train, y_train, x_test, y_test = data
+    params = mod.init_params(jax.random.key(seed), cfg)
+    step = jax.jit(make_qat_train_step(
+        lambda p, xx: mod.apply_fp32(p, xx, cfg), bits=8, lr=lr))
+
+    nb = x_train.shape[0] // batch
+    for it in range(steps):
+        i = it % nb
+        params, loss = step(params, x_train[i * batch:(i + 1) * batch],
+                            y_train[i * batch:(i + 1) * batch])
+        if it % 100 == 0:
+            print(f"  step {it}: loss {float(loss):.4f}", flush=True)
+
+    fp32_logits = jax.jit(
+        lambda p, xx: mod.apply_fp32(p, xx, cfg))(params, x_test)
+    results = {"fp32": accuracy(fp32_logits, y_test)}
+
+    scales = mod.calibrate_act_scales(params, [x_train[:128]], cfg)
+    for name, bits in (("int8", 8), ("w4a8", 4)):
+        qp = mod.quantize_params(params, cfg, bits=bits)
+        logits = jax.jit(lambda p, xx: mod.apply_quantized_int8chain(
+            p, xx, scales, cfg, backend="xla"))(qp, x_test)
+        results[name] = accuracy(logits, y_test)
+    return results
+
+
 def main(steps=300, batch=64, seed=0):
     rng = np.random.default_rng(seed)
     templates = make_templates(rng)
     x_train, y_train = synthetic_classes(rng, templates, 512)
     x_test, y_test = synthetic_classes(rng, templates, 512)
-
-    params = resnet.init_params(jax.random.key(seed), CFG)
-    step = jax.jit(make_qat_train_step(
-        lambda p, xx: resnet.apply_fp32(p, xx, CFG), bits=8, lr=3e-3))
-
-    nb = x_train.shape[0] // batch
-    for it in range(steps):
-        i = it % nb
-        xb = x_train[i * batch:(i + 1) * batch]
-        yb = y_train[i * batch:(i + 1) * batch]
-        params, loss = step(params, xb, yb)
-        if it % 50 == 0:
-            print(f"step {it}: loss {float(loss):.4f}", flush=True)
-
-    # FP32 eval
-    fp32_logits = jax.jit(
-        lambda p, xx: resnet.apply_fp32(p, xx, CFG))(params, x_test)
-    acc_fp32 = accuracy(fp32_logits, y_test)
-
-    # calibrate once on training data
-    scales = resnet.calibrate_act_scales(params, [x_train[:128]], CFG)
-
-    results = {"fp32": acc_fp32}
-    for name, bits in (("int8", 8), ("w4a8", 4)):
-        qp = resnet.quantize_params(params, CFG, bits=bits)
-        logits = jax.jit(lambda p, xx: resnet.apply_quantized_int8chain(
-            p, xx, scales, CFG, backend="xla"))(qp, x_test)
-        results[name] = accuracy(logits, y_test)
+    data = (x_train, y_train, x_test, y_test)
 
     out = {
         "dataset": "synthetic-10class-32x32 (zero-egress stand-in)",
         "train_steps": steps,
-        "top1": {k: round(v, 4) for k, v in results.items()},
-        "delta_pct": {
-            "int8": round(100 * (results["fp32"] - results["int8"]), 2),
-            "w4a8": round(100 * (results["fp32"] - results["w4a8"]), 2),
-        },
         "targets_pct": {"int8": 0.5, "w4a8": 1.5},
+        "models": {},
     }
+    for fam, (mod, cfg, lr) in FAMILIES.items():
+        print(f"[{fam}] QAT training {steps} steps...", flush=True)
+        results = run_family(mod, cfg, lr, data, steps, batch, seed)
+        out["models"][fam] = {
+            "top1": {k: round(v, 4) for k, v in results.items()},
+            "delta_pct": {
+                "int8": round(100 * (results["fp32"] - results["int8"]), 2),
+                "w4a8": round(100 * (results["fp32"] - results["w4a8"]), 2),
+            },
+        }
     print(json.dumps(out, indent=1))
     with open("accuracy_parity.json", "w") as f:
         json.dump(out, f, indent=1)

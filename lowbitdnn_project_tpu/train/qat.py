@@ -40,6 +40,14 @@ def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
 
 
+def _is_inexact(leaf: Any) -> bool:
+    if isinstance(leaf, (bool, int)):
+        return False
+    if isinstance(leaf, float):
+        return True
+    return hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.inexact)
+
+
 def make_qat_train_step(
     apply_fn: Callable[[Any, jax.Array], jax.Array],
     bits: int = 8,
@@ -48,6 +56,8 @@ def make_qat_train_step(
     """Build a jittable SGD step: loss = CE(apply_fn(fake_quant(params), x)).
 
     Returns (new_params, loss). Gradients flow through the fake-quant STE.
+    Non-float pytree leaves (e.g. MobileNet's per-block `stride` ints) are
+    treated as static: passed through to apply_fn, excluded from grad.
     """
     def loss_fn(params, x, labels):
         qparams = fake_quantize_tree(params, bits=bits)
@@ -55,9 +65,21 @@ def make_qat_train_step(
         return cross_entropy(logits, labels)
 
     def step(params, x, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels)
-        new_params = jax.tree_util.tree_map(
-            lambda p, g: p - lr * g if g is not None else p, params, grads)
-        return new_params, loss
+        flat, treedef = jax.tree_util.tree_flatten(params)
+        diff_idx = [i for i, l in enumerate(flat) if _is_inexact(l)]
+
+        def diff_loss(diff_leaves):
+            full = list(flat)
+            for i, v in zip(diff_idx, diff_leaves):
+                full[i] = v
+            return loss_fn(jax.tree_util.tree_unflatten(treedef, full),
+                           x, labels)
+
+        diff_leaves = [flat[i] for i in diff_idx]
+        loss, grads = jax.value_and_grad(diff_loss)(diff_leaves)
+        new_flat = list(flat)
+        for i, g in zip(diff_idx, grads):
+            new_flat[i] = flat[i] - lr * g
+        return jax.tree_util.tree_unflatten(treedef, new_flat), loss
 
     return step
