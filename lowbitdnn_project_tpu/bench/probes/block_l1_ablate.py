@@ -85,7 +85,7 @@ def call(x, a1, a3, w1, w2p, w3, mode):
         functools.partial(_kernel, mode=mode),
         grid=(n, 2),
         in_specs=[vec(1, 64), vec(1, 256), vec(256, 64), vec(_KPAD, 64),
-                  vec(64, 256), pl.BlockSpec(memory_space=pltpu.ANY)],
+                  vec(64, 256), pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 28, 56, 256), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 56, 56, 256), jnp.int8),

@@ -137,7 +137,7 @@ def conv2d_direct_int8(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),              # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),              # x stays in HBM
             pl.BlockSpec((kh * kw * c, bk), lambda n, i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk), lambda n, i, j: (0, j),

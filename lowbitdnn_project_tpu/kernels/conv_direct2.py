@@ -129,7 +129,7 @@ def conv2d_direct_v2(
         kernel,
         grid=(total,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((kh * kw * c, kp), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kp), lambda t: (0, 0), memory_space=pltpu.VMEM),

@@ -179,7 +179,7 @@ def conv3x3_winograd_fused(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((16, c, bk), lambda n, i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 1, bk), lambda n, i, j: (0, 0, j),

@@ -67,9 +67,11 @@ def init_params(key: jax.Array, cfg: MobileNetV2Config = MOBILENET_V2
     blocks: List[Dict[str, Any]] = []
     for t, c, n, s in cfg.stages:
         for i in range(n):
-            stride = s if i == 0 else 1
             cmid = cin * t
-            blk: Dict[str, Any] = {"stride": stride}
+            # no 'stride' key in the pytree: strides are static config
+            # (block_strides) — a python-int leaf would be traced by jit and
+            # come back as an int32 array after one QAT step
+            blk: Dict[str, Any] = {}
             if t != 1:
                 blk["expand"] = {"w": _conv_init(next(keys), 1, 1, cin, cmid),
                                  "bn": _bn_init(cmid, next(keys))}

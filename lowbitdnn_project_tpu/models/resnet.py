@@ -258,6 +258,7 @@ def apply_quantized_int8chain(
     use_w4a8_1x1: Optional[bool] = None,
     use_wpack: Optional[bool] = None,
     stop_after_stage: Optional[int] = None,
+    act_unsigned: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Fully int8-chained inference: activations stay int8 between convs.
@@ -292,6 +293,13 @@ def apply_quantized_int8chain(
     stem (0) or after residual stage N instead of running the classifier
     head: backbone feature extraction for dense-prediction heads, and the
     in-chain stage-bisection hook for profiling.
+    act_unsigned: asymmetric "uint8" activations at every post-ReLU requant
+    site (the reference's uint8x4 activation configs,
+    cpp/apps/config.json:55-80): post-ReLU data is one-sided, so 256 levels
+    over [0, absmax] instead of wasting half the signed range. Calibrated
+    scales are rescaled by 127/255 at those sites. Requires
+    add_domain="float"; forces the classic stem and per-conv backend (the
+    fused Pallas kernels are symmetric-int8-only).
     use_wpack: route the layer1 bottleneck triples (where cin=cout=64
     leaves the MXU half-empty in BOTH the contraction and output lane
     dims) through the output-pair-packed formulation (ops/wpack.py).
@@ -316,8 +324,19 @@ def apply_quantized_int8chain(
         use_w4a8_1x1 = False
     if use_wpack is None:
         use_wpack = False  # e2e A/B loses at b32: see docstring
+    if act_unsigned:
+        if add_domain != "float":
+            raise NotImplementedError("act_unsigned needs add_domain='float'")
+        # symmetric-only fused paths off; scales were calibrated as
+        # absmax/127, asymmetric sites use absmax/255
+        stem_backend, block_backend = "classic", "none"
+        use_wpack = use_w4a8_1x1 = False
+        u = 127.0 / 255.0
+    else:
+        u = 1.0
 
-    def qc(x_q, p, relu, out_scale=None, stride=1, padding=0):
+    def qc(x_q, p, relu, out_scale=None, stride=1, padding=0,
+           unsigned=False):
         if (use_w4a8_1x1 and getattr(p, "w4pack", None) is not None
                 and stride == 1 and padding == 0):
             from lowbitdnn_project_tpu.kernels.matmul_w4a8 import (
@@ -337,7 +356,8 @@ def apply_quantized_int8chain(
             return out
         return qconv2d(x_q, p.weight, p.bias, stride=stride, padding=padding,
                        relu=relu, out_scale=out_scale, out_dtype=act_dtype,
-                       backend=backend, interpret=interpret)
+                       backend=backend, out_unsigned=unsigned,
+                       interpret=interpret)
 
     def rescale(x_q: QTensor, new_scale) -> QTensor:
         r = jnp.round(x_q.values.astype(jnp.float32) * (x_q.scale / new_scale))
@@ -378,7 +398,8 @@ def apply_quantized_int8chain(
                                  interpret=interpret)
     else:
         x_q = qc(x_q, qparams["conv1"], relu=True,
-                 out_scale=s["layer1.0.conv1"], stride=2, padding=3)
+                 out_scale=s["layer1.0.conv1"] * u, stride=2, padding=3,
+                 unsigned=act_unsigned)
         x_q = qmax_pool2d(x_q, 3, 2, 1)
     def _fusable(blk, stride):
         if not (cfg.bottleneck and block_backend == "flat"
@@ -461,13 +482,16 @@ def apply_quantized_int8chain(
                     out_scale=s_out, out_dtype=act_dtype, identity=identity)
                 continue
             if cfg.bottleneck:
-                h = qc(x_q, blk["conv1"], relu=True, out_scale=s[f"{pre}.conv2"])
-                h = qc(h, blk["conv2"], relu=True, out_scale=s[f"{pre}.conv3"],
+                h = qc(x_q, blk["conv1"], relu=True,
+                       out_scale=s[f"{pre}.conv2"] * u, unsigned=act_unsigned)
+                h = qc(h, blk["conv2"], relu=True,
+                       out_scale=s[f"{pre}.conv3"] * u, unsigned=act_unsigned,
                        stride=stride, padding=1)
                 h = qc(h, blk["conv3"], relu=False, out_scale=last_scale)
             else:
-                h = qc(x_q, blk["conv1"], relu=True,
-                       out_scale=s[f"{pre}.conv2"], stride=stride, padding=1)
+                h = qc(x_q, blk["conv1"], relu=True, unsigned=act_unsigned,
+                       out_scale=s[f"{pre}.conv2"] * u, stride=stride,
+                       padding=1)
                 h = qc(h, blk["conv2"], relu=False, padding=1,
                        out_scale=last_scale)
             if "downsample" in blk:
@@ -484,10 +508,11 @@ def apply_quantized_int8chain(
                               scale=s_out)
             else:
                 out_f = jnp.maximum(h + identity, 0.0)
-                x_q = quantize(out_f, scale=s_out)
+                x_q = quantize(out_f, scale=s_out * u, unsigned=act_unsigned)
         if stop_after_stage == st + 1:
             return x_q
-    feat = jnp.mean(x_q.values.astype(jnp.float32), axis=(1, 2)) * x_q.scale
+    # mean of dequantized values: subtracts the zero point when asymmetric
+    feat = jnp.mean(x_q.dequantize(), axis=(1, 2))
     x_fc = quantize(feat, scale=s["fc"])
     return qlinear(x_fc, qparams["fc"].weight, qparams["fc"].bias,
                    backend=backend, interpret=interpret)

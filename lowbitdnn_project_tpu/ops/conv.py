@@ -135,17 +135,26 @@ def qconv2d(
     out_dtype=jnp.float32,
     backend: str = "auto",
     wino_u: Optional[Tuple[jax.Array, jax.Array]] = None,
+    out_unsigned: bool = False,
     interpret: bool = False,
 ) -> Union[jax.Array, QTensor]:
     """Quantized conv with fused dequant+bias+ReLU(+requant) epilogue.
 
     Args:
-      x_q: int8 activations, NHWC, per-tensor scale.
+      x_q: int8 activations, NHWC, per-tensor scale. May carry a zero_point
+        (asymmetric "uint8" activations — the reference's uint8x4 configs,
+        cpp/apps/config.json:55-80 / conv2DForward3x3Fused.cuh:15-60). The
+        zp is corrected exactly in the epilogue: acc -= zp * row_sum(w)[k]
+        (precomputable per-channel int32 sums), with zero-padding done at
+        the zp value so borders represent real 0.
       w_q: int8 weights, HWIO, per-tensor or per-out-channel (axis=3) scale.
       bias: float bias of shape (K,), added after dequantization.
       out_scale: if given, requantize the output with this scale and return
         an int8 QTensor ("internal"/pure-int8 mode); else return float
         ("external" mode). Matches the reference's two output configs.
+      out_unsigned: with out_scale and relu, emit an asymmetric QTensor
+        (zero_point=-128) — the outputs are one-sided post-ReLU, so this
+        spends all 256 levels on [0, out_scale*255].
       backend: "auto" | "xla" | "gemm" (Pallas im2col GEMM) | "direct"
         (Pallas implicit-GEMM conv, stride 1, C%128==0) | "winograd"
         (fused Pallas F(2x2,3x3), stride 1 pad 1, even H/W, C%128==0)
@@ -166,6 +175,15 @@ def qconv2d(
 
     scale = _combined_scale(x_q, w_q, k)
     requant = out_scale is not None
+    if out_unsigned and not (requant and relu):
+        raise ValueError("out_unsigned requires out_scale and relu "
+                         "(uint8 output is for one-sided post-ReLU data)")
+
+    if (x_q.zero_point is not None or out_unsigned) and backend in (
+            "auto", "gemm", "direct", "winograd", "wpack"):
+        # Asymmetric activations ride the XLA path (the measured-fastest
+        # default anyway); the Pallas lab kernels are symmetric-int8-only.
+        backend = "xla"
 
     if backend == "auto":
         # XLA's TPU conv emitters measured at/near speed-of-light for the
@@ -214,8 +232,7 @@ def qconv2d(
         if groups != 1:
             raise NotImplementedError("gemm path: groups must be 1")
         if (kh, kw) == (1, 1) and stride == (1, 1) and padding == (0, 0):
-            patches, (oh, ow) = x_q.values.reshape(n, h * wdim, 1, c), (h, wdim)
-            patches = patches.reshape(n * h * wdim, c)
+            patches = x_q.values.reshape(n * h * wdim, c)
             oh, ow = h, wdim
         else:
             patches, (oh, ow) = im2col(
@@ -236,8 +253,24 @@ def qconv2d(
         return qconv3x3_wpack(x_q, w_q, bias, relu=relu, out_scale=out_scale,
                               out_dtype=out_dtype)
     elif backend == "xla":
-        acc = conv2d_int32(
-            x_q.values, w_q.values, stride, padding, dilation, groups)
+        zp = x_q.zero_point
+        if zp is None:
+            acc = conv2d_int32(
+                x_q.values, w_q.values, stride, padding, dilation, groups)
+        else:
+            # pad with the zero point so padded positions represent real 0,
+            # then correct acc by zp * per-channel weight row-sums:
+            #   sum_r (q_r - zp) w_r = acc_raw - zp * sum_r w_r
+            xv = x_q.values
+            ph, pw = padding
+            if ph or pw:
+                xv = jax.lax.pad(
+                    xv, zp.astype(xv.dtype),
+                    ((0, 0, 0), (ph, ph, 0), (pw, pw, 0), (0, 0, 0)))
+            acc = conv2d_int32(
+                xv, w_q.values, stride, (0, 0), dilation, groups)
+            wsum = jnp.sum(w_q.values.astype(jnp.int32), axis=(0, 1, 2))
+            acc = acc - zp * wsum
         out = acc.astype(jnp.float32) * scale
         if bias is not None:
             out = out + jnp.asarray(bias, jnp.float32)
@@ -245,7 +278,10 @@ def qconv2d(
             out = jnp.maximum(out, 0.0)
         if requant:
             q = jnp.round(out * (1.0 / jnp.asarray(out_scale, jnp.float32)))
-            out = jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+            if out_unsigned:
+                out = jnp.clip(q - 128.0, -128.0, 127.0).astype(jnp.int8)
+            else:
+                out = jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
         else:
             out = out.astype(out_dtype)
     else:
@@ -253,5 +289,7 @@ def qconv2d(
 
     if requant:
         return QTensor(values=out, scale=jnp.asarray(out_scale, jnp.float32),
-                       bits=8, axis=None)
+                       bits=8, axis=None,
+                       zero_point=jnp.asarray(-128, jnp.int32)
+                       if out_unsigned else None)
     return out

@@ -39,7 +39,11 @@ def qmax_pool2d(
         window_strides=(1, sh, sw, 1),
         padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
     )
-    return QTensor(values=out, scale=x_q.scale, bits=x_q.bits, axis=x_q.axis)
+    # zero_point passes through like the scale (max commutes with any
+    # monotone affine map); the -128 pad init is also exact for asymmetric
+    # post-ReLU payloads (zp=-128 => pad represents real 0, the data min)
+    return QTensor(values=out, scale=x_q.scale, bits=x_q.bits, axis=x_q.axis,
+                   zero_point=x_q.zero_point)
 
 
 def max_pool2d(
@@ -71,6 +75,8 @@ def global_avg_pool2d_int32(x_q: QTensor) -> jax.Array:
     """
     n, h, w, c = x_q.shape
     acc = jnp.sum(x_q.values.astype(jnp.int32), axis=(1, 2))
+    if x_q.zero_point is not None:
+        acc = acc - (h * w) * x_q.zero_point
     # scale_vector(): () per-tensor or (C,) per-channel — both broadcast
     # correctly against the (N, C) sum (a raw (1,1,1,C) scale would not).
     return acc.astype(jnp.float32) * x_q.scale_vector() / (h * w)

@@ -86,7 +86,9 @@ def pipeline_apply(
     m = xs.shape[0]
     params = jax.tree_util.tree_map(lambda a: a[0], params_local)
 
-    y0 = block_fn(params, xs[0])
+    # shape-contract check without executing the stage (eval_shape is free
+    # both under jit and in eager shard_map use)
+    y0 = jax.eval_shape(lambda: block_fn(params, xs[0]))
     if y0.shape != xs.shape[1:]:
         raise ValueError(
             f"pipeline block must preserve shape: {xs.shape[1:]} -> "
@@ -107,14 +109,15 @@ def pipeline_apply(
         ingest = jnp.logical_and(rank == 0, t < m)
         state = jnp.where(ingest, inp, state)
         y = block_fn(params, state)
-        # stage S-1 emits microbatch t-(S-1)
+        # stage S-1 emits microbatch t-(S-1). Mask the PAYLOAD, not the
+        # buffer: one slice read + one slice write per tick (O(slice)), not
+        # an O(M) whole-buffer rewrite on every stage every tick.
         mb = t - (s - 1)
+        idx = jnp.clip(mb, 0, m - 1)
         emit = jnp.logical_and(rank == s - 1, mb >= 0)
-        outbuf = jnp.where(
-            emit,
-            jax.lax.dynamic_update_index_in_dim(
-                outbuf, y, jnp.maximum(mb, 0), 0),
-            outbuf)
+        cur = jax.lax.dynamic_index_in_dim(outbuf, idx, 0, keepdims=False)
+        outbuf = jax.lax.dynamic_update_index_in_dim(
+            outbuf, jnp.where(emit, y, cur), idx, 0)
         # one hop down the pipeline (stage S-1's y is consumed by emit)
         state = jax.lax.ppermute(y, axis_name, shift)
         return state, outbuf

@@ -10,6 +10,14 @@ Scales are symmetric (no zero point) like the reference's
 ``_quantization_params`` (``quantization.py:90-110``): int8 covers
 [-127, 127], int4 covers [-7, 7]. Per-tensor scale is a () array; per-channel
 scale keeps one dim of the value shape (``axis``) and broadcasts over the rest.
+
+Asymmetric ("uint8") activations — the reference's uint8x4 configs
+(cpp/apps/config.json:55-80, fused uint8 quantize at
+cpp/int8conv/conv2DForward3x3Fused.cuh:15-60) — are carried as int8 storage
+plus a ``zero_point`` (canonically -128, making the payload exactly uint8
+shifted by 128: real = (q - zp) * scale, 256 levels over [0, absmax]).
+Int8 storage keeps the MXU int8 path; the zp is corrected in the conv
+epilogue via precomputed weight row-sums (ops/conv.py).
 """
 from __future__ import annotations
 
@@ -34,12 +42,15 @@ class QTensor:
         broadcast-compatible shape with exactly one non-1 dim for per-channel.
       bits: logical bit-width (8 or 4) — static.
       axis: channel axis the scale varies along, or None for per-tensor — static.
+      zero_point: int32 scalar zero point for asymmetric ("uint8") payloads,
+        or None for symmetric. real = (values - zero_point) * scale.
     """
 
     values: jax.Array
     scale: jax.Array
     bits: int = struct.field(pytree_node=False, default=8)
     axis: Optional[int] = struct.field(pytree_node=False, default=None)
+    zero_point: Optional[jax.Array] = None
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -64,7 +75,10 @@ class QTensor:
         return self.scale.reshape(self.shape[self.axis])
 
     def dequantize(self) -> jax.Array:
-        return self.values.astype(jnp.float32) * self.scale
+        v = self.values.astype(jnp.float32)
+        if self.zero_point is not None:
+            v = v - self.zero_point.astype(jnp.float32)
+        return v * self.scale
 
     def astype_float(self, dtype=jnp.float32) -> jax.Array:
         return self.dequantize().astype(dtype)

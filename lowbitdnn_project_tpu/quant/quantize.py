@@ -58,6 +58,9 @@ def _round_ste_jvp(primals, tangents):
     return jnp.round(x), t
 
 
+UINT8_ZP = -128  # canonical zero point: int8 payload == uint8 shifted by 128
+
+
 def quantize(
     x: jax.Array,
     bits: int = 8,
@@ -65,8 +68,9 @@ def quantize(
     scale: Optional[jax.Array] = None,
     stochastic: bool = False,
     key: Optional[jax.Array] = None,
+    unsigned: bool = False,
 ) -> QTensor:
-    """Quantize a float array to a symmetric int8-stored QTensor.
+    """Quantize a float array to an int8-stored QTensor.
 
     Args:
       x: float input.
@@ -77,7 +81,33 @@ def quantize(
       stochastic: add uniform(-0.5, 0.5) noise before rounding, like the
         reference's noise path (quantization.py:36-40).
       key: PRNG key, required when stochastic=True.
+      unsigned: asymmetric "uint8" mode for one-sided (post-ReLU) data — the
+        reference's uint8x4 activation path (cpp/apps/config.json:55-80,
+        conv2DForward3x3Fused.cuh:15-60). 256 levels over [0, absmax]
+        (scale = absmax/255 when dynamic; a supplied ``scale`` is used
+        verbatim), stored as int8 with zero_point = -128. Negative inputs
+        clip to 0. bits must be 8.
     """
+    if unsigned:
+        if bits != 8:
+            raise NotImplementedError("unsigned quantization is uint8-only")
+        if axis is not None:
+            raise NotImplementedError(
+                "per-channel asymmetric activations unsupported")
+        if scale is None:
+            scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) \
+                .astype(jnp.float32) / 255.0
+        else:
+            scale = jnp.asarray(scale, jnp.float32).reshape(())
+        scaled = x.astype(jnp.float32) / scale
+        if stochastic:
+            if key is None:
+                raise ValueError("stochastic=True requires a PRNG key")
+            scaled = scaled + jax.random.uniform(
+                key, x.shape, jnp.float32, -0.5, 0.5)
+        q = jnp.clip(_round_ste(scaled) + UINT8_ZP, -128, 127).astype(jnp.int8)
+        return QTensor(values=q, scale=scale, bits=8, axis=None,
+                       zero_point=jnp.asarray(UINT8_ZP, jnp.int32))
     qmax = QMAX[bits]
     if scale is None:
         scale = compute_scale(x, bits=bits, axis=axis)
@@ -95,7 +125,7 @@ def quantize(
 
 def dequantize(q: QTensor, dtype=jnp.float32) -> jax.Array:
     """Inverse of quantize (reference quantization.py:144-152)."""
-    return (q.values.astype(jnp.float32) * q.scale).astype(dtype)
+    return q.dequantize().astype(dtype)
 
 
 def fake_quantize(

@@ -21,6 +21,10 @@ from lowbitdnn_project_tpu.quant import QTensor, pack_int4, unpack_int4
 from lowbitdnn_project_tpu.models.layers import QConvParams, QLinearParams
 
 _MANIFEST = "__manifest__.json"
+# .lbq format version. 1 = {"version": 1, "tree": <spec>} manifest envelope.
+# Files written before the envelope existed (bare <spec> manifest) load as
+# version 0.
+_FORMAT_VERSION = 1
 
 
 def _flatten(node: Any, path: str, arrays: Dict[str, np.ndarray]) -> Any:
@@ -31,8 +35,12 @@ def _flatten(node: Any, path: str, arrays: Dict[str, np.ndarray]) -> Any:
         key = f"{path}.values"
         arrays[key] = np.asarray(pack_int4(jnp.asarray(vals))) if packed else vals
         arrays[f"{path}.scale"] = np.asarray(node.scale)
+        has_zp = node.zero_point is not None
+        if has_zp:
+            arrays[f"{path}.zp"] = np.asarray(node.zero_point)
         return {"__qtensor__": {"bits": node.bits, "axis": node.axis,
-                                "packed": packed, "shape": list(vals.shape)}}
+                                "packed": packed, "shape": list(vals.shape),
+                                "zp": has_zp}}
     if isinstance(node, QConvParams):
         return {"__qconv__": {
             "weight": _flatten(node.weight, f"{path}.weight", arrays),
@@ -66,9 +74,11 @@ def _unflatten(spec: Any, path: str, arrays: Dict[str, np.ndarray]) -> Any:
         if meta["packed"]:
             vals = np.asarray(unpack_int4(jnp.asarray(vals)))
         axis = meta["axis"]
+        zp = (jnp.asarray(arrays[f"{path}.zp"], jnp.int32)
+              if meta.get("zp") else None)  # .get: absent in version-0 files
         return QTensor(values=jnp.asarray(vals, jnp.int8),
                        scale=jnp.asarray(arrays[f"{path}.scale"]),
-                       bits=meta["bits"], axis=axis)
+                       bits=meta["bits"], axis=axis, zero_point=zp)
     if "__qconv__" in spec:
         d = spec["__qconv__"]
         return QConvParams(
@@ -101,7 +111,8 @@ def save_quantized(path: str, tree: Any) -> None:
     manifest: Dict[str, Any] = {}
     spec = _flatten(jax.device_get(tree), "root", arrays)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr(_MANIFEST, json.dumps(spec))
+        zf.writestr(_MANIFEST,
+                    json.dumps({"version": _FORMAT_VERSION, "tree": spec}))
         for key, arr in arrays.items():
             buf = io.BytesIO()
             np.save(buf, arr, allow_pickle=False)
@@ -111,6 +122,14 @@ def save_quantized(path: str, tree: Any) -> None:
 def load_quantized(path: str) -> Any:
     with zipfile.ZipFile(path, "r") as zf:
         spec = json.loads(zf.read(_MANIFEST))
+        if isinstance(spec, dict) and "version" in spec and "tree" in spec:
+            version, spec = spec["version"], spec["tree"]
+        else:
+            version = 0  # pre-envelope files: manifest IS the tree spec
+        if version > _FORMAT_VERSION:
+            raise ValueError(
+                f".lbq format version {version} is newer than this reader "
+                f"(supports <= {_FORMAT_VERSION})")
         arrays = {}
         for name in zf.namelist():
             if name == _MANIFEST:

@@ -137,7 +137,74 @@ def main():
                 - np.asarray(gotb.values, np.int32))
     assert db.max() <= 1, db.max()
     print(f"block_l1: |delta|<=1 ok (n_diff {(db > 0).sum()})", flush=True)
+
+    property_checks()
     print("TPU SMOKE OK")
+
+
+def property_checks(repeats: int = 100):
+    """Randomized repeated on-device property tests — the reference's
+    load-bearing test idea (check.cu:117-129 re-randomizes inputs 1000x in
+    the warmup loop, asserting bit-exactness each time).
+
+    TPU-native formulation: inputs are re-drawn ON DEVICE from a folded PRNG
+    key inside one jitted fori_loop, mismatch counts accumulate on device,
+    and a single scalar crosses the (slow) relay — one program, ``repeats``
+    independent correctness trials per kernel.
+    """
+    from lowbitdnn_project_tpu.kernels.matmul_int8 import (
+        int8_matmul_fused, int8_matmul_xla)
+    from lowbitdnn_project_tpu.kernels.conv_flat import (
+        conv_flat_int8, flat_meta, from_flat, to_flat)
+    from lowbitdnn_project_tpu.ops.conv import conv2d_int32, qconv2d
+    from lowbitdnn_project_tpu.quant import quantize
+
+    def gemm_trial(key):
+        k1, k2 = jax.random.split(key)
+        a = jax.random.randint(k1, (256, 256), -127, 128, jnp.int8)
+        b = jax.random.randint(k2, (256, 256), -127, 128, jnp.int8)
+        sc = jnp.full((256,), 0.01, jnp.float32)
+        os_ = jnp.asarray(0.5, jnp.float32)
+        got = int8_matmul_fused(a, b, sc, requant=True, out_scale=os_)
+        ref = int8_matmul_xla(a, b, sc, requant=True, out_scale=os_)
+        return jnp.sum((got != ref).astype(jnp.int32))
+
+    m = flat_meta(2, 14, 14)
+
+    def flat_trial(key):
+        k1, k2 = jax.random.split(key)
+        xi = jax.random.randint(k1, (2, 14, 14, 256), -5, 6, jnp.int8)
+        wi = jax.random.randint(k2, (3, 3, 256, 256), -5, 6, jnp.int8)
+        got = from_flat(conv_flat_int8(
+            to_flat(xi, m), wi, jnp.ones((256,), jnp.float32),
+            meta=m, bm=512), m)
+        ref = conv2d_int32(xi, wi, (1, 1), (1, 1)).astype(jnp.float32)
+        return jnp.sum((got != ref).astype(jnp.int32))
+
+    def wpack_trial(key):
+        k1, k2 = jax.random.split(key)
+        xw = quantize(jax.random.normal(k1, (2, 56, 56, 64), jnp.float32))
+        ww = quantize(
+            jax.random.normal(k2, (3, 3, 64, 64), jnp.float32) * .1, axis=3)
+        gw = qconv2d(xw, ww, padding=1, relu=True, out_scale=0.05,
+                     backend="wpack")
+        rw = qconv2d(xw, ww, padding=1, relu=True, out_scale=0.05,
+                     backend="xla")
+        return jnp.sum((gw.values != rw.values).astype(jnp.int32))
+
+    for name, trial in [("gemm", gemm_trial), ("conv_flat", flat_trial),
+                        ("wpack", wpack_trial)]:
+        @jax.jit
+        def total(key, trial=trial):
+            def body(i, acc):
+                return acc + trial(jax.random.fold_in(key, i))
+            return jax.lax.fori_loop(0, repeats, body, jnp.int32(0))
+
+        n_bad = int(total(jax.random.key(42)))
+        assert n_bad == 0, f"{name}: {n_bad} mismatched elements over " \
+                           f"{repeats} randomized trials"
+        print(f"property[{name}]: {repeats} randomized trials bit-exact",
+              flush=True)
 
 
 if __name__ == "__main__":
