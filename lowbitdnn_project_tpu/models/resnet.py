@@ -258,6 +258,7 @@ def apply_quantized_int8chain(
     use_w4a8_1x1: Optional[bool] = None,
     use_wpack: Optional[bool] = None,
     stop_after_stage: Optional[int] = None,
+    start_at_stage: int = 0,
     act_unsigned: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
@@ -293,6 +294,12 @@ def apply_quantized_int8chain(
     stem (0) or after residual stage N instead of running the classifier
     head: backbone feature extraction for dense-prediction heads, and the
     in-chain stage-bisection hook for profiling.
+    start_at_stage: 0..4 — enter the chain at residual stage N instead of
+    the stem; x must then be the int8 QTensor feature map a
+    stop_after_stage=N call would return (qparams only needs the keys the
+    span touches). start=4 runs just the classifier head. Together with
+    stop_after_stage this slices the chain into pipeline stages
+    (apply_pipelined_int8chain).
     act_unsigned: asymmetric "uint8" activations at every post-ReLU requant
     site (the reference's uint8x4 activation configs,
     cpp/apps/config.json:55-80): post-ReLU data is one-sided, so 256 levels
@@ -374,13 +381,22 @@ def apply_quantized_int8chain(
 
     # Pre-quantized int8 input (e.g. from runtime.preprocess_quantize) is
     # consumed directly — no float round-trip at the serving boundary.
-    x_q = x if isinstance(x, QTensor) else quantize(x, scale=s["conv1"])
-    w1 = qparams["conv1"].weight
-    use_fused = stem_backend in ("fused", "fused2", "fused3") or (
-        stem_backend == "auto" and x.shape[0] <= 64
-        and x.shape[1:3] == (224, 224) and w1.shape == (7, 7, 3, 64))
-    use_s2d = stem_backend == "s2d8"
-    if use_fused:
+    if start_at_stage > 0:
+        if not isinstance(x, QTensor):
+            raise ValueError("start_at_stage > 0 takes the int8 QTensor "
+                             "feature map of a stop_after_stage call")
+        x_q = x
+        use_fused = use_s2d = False
+    else:
+        x_q = x if isinstance(x, QTensor) else quantize(x, scale=s["conv1"])
+        w1 = qparams["conv1"].weight
+        use_fused = stem_backend in ("fused", "fused2", "fused3") or (
+            stem_backend == "auto" and x.shape[0] <= 64
+            and x.shape[1:3] == (224, 224) and w1.shape == (7, 7, 3, 64))
+        use_s2d = stem_backend == "s2d8"
+    if start_at_stage > 0:
+        pass
+    elif use_fused:
         from lowbitdnn_project_tpu.kernels.stem_fused import (
             stem_conv_pool_fused)
         # v3 (6-plane, K=216): beats v2 standalone 1.16x/1.05x/1.06x at
@@ -420,7 +436,7 @@ def apply_quantized_int8chain(
         # also the in-chain stage-bisection hook for bench/harness
         return x_q
 
-    for st in range(4):
+    for st in range(start_at_stage, 4):
         blocks = qparams[f"layer{st + 1}"]
         for i, blk in enumerate(blocks):
             stride = 2 if (st > 0 and i == 0) else 1
@@ -516,6 +532,72 @@ def apply_quantized_int8chain(
     x_fc = quantize(feat, scale=s["fc"])
     return qlinear(x_fc, qparams["fc"].weight, qparams["fc"].bias,
                    backend=backend, interpret=interpret)
+
+
+def apply_pipelined_int8chain(
+    qparams: Dict[str, Any],
+    x: jax.Array,
+    act_scales: Dict[str, jax.Array],
+    cfg: ResNetConfig,
+    mesh,
+    microbatches: Optional[int] = None,
+    backend: str = "xla",
+) -> jax.Array:
+    """Pipeline-parallel int8 ResNet forward: the 4 residual stages become
+    4 GPipe pipeline stages over ``mesh``'s stage axis (heterogeneous-stage
+    pipeline, parallel/pipeline.py run_pipeline_het). Device r holds ONLY
+    its stage's packed weights; the stem runs inside stage 0 and the
+    classifier head runs after the pipeline on the gathered features.
+
+    Numerics match apply_quantized_int8chain bit-exactly: the chain's
+    per-example compute is batch-independent (static calibrated scales,
+    elementwise float epilogues), so microbatching changes nothing.
+
+    The reference is single-GPU (SURVEY.md §2) — this is the TPU-native
+    distributed depth axis carrying a real model.
+    """
+    from lowbitdnn_project_tpu.parallel.pipeline import (
+        PIPE_AXIS, run_pipeline_het)
+    from lowbitdnn_project_tpu.quant import quantize
+    from lowbitdnn_project_tpu.quant.qtensor import QTensor
+
+    n_stages = mesh.shape[PIPE_AXIS]
+    if n_stages != 4:
+        raise ValueError(f"ResNet pipeline needs a 4-stage mesh axis; "
+                         f"got {n_stages}")
+    s = act_scales
+    x_q = x if isinstance(x, QTensor) else quantize(x, scale=s["conv1"])
+    batch = x_q.shape[0]
+    m = microbatches if microbatches is not None else min(batch, 8)
+    if batch % m:
+        raise ValueError(f"batch {batch} not divisible by {m} microbatches")
+    xs = x_q.values.reshape((m, batch // m) + x_q.shape[1:])
+
+    def make_stage(r):
+        in_scale = s["conv1"] if r == 0 else s[f"layer{r + 1}.0.conv1"]
+
+        def fn(p, xv):
+            xq = QTensor(values=xv, scale=jnp.asarray(in_scale, jnp.float32))
+            out = apply_quantized_int8chain(
+                p, xq, s, cfg, backend=backend, stem_backend="classic",
+                start_at_stage=r, stop_after_stage=r + 1)
+            return out.values
+
+        return fn
+
+    stage_params = [
+        {"conv1": qparams["conv1"], "layer1": qparams["layer1"]},
+        {"layer2": qparams["layer2"]},
+        {"layer3": qparams["layer3"]},
+        {"layer4": qparams["layer4"]},
+    ]
+    feats = run_pipeline_het([make_stage(r) for r in range(4)],
+                             stage_params, xs, mesh)
+    # features exit stage 4 quantized at the fc site scale (next_site)
+    feat_q = QTensor(values=feats.reshape((batch,) + feats.shape[2:]),
+                     scale=jnp.asarray(s["fc"], jnp.float32))
+    return apply_quantized_int8chain({"fc": qparams["fc"]}, feat_q, s, cfg,
+                                     backend=backend, start_at_stage=4)
 
 
 def calibrate_act_scales(

@@ -27,16 +27,20 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lowbitdnn_project_tpu.quant.qtensor import QTensor
 
 # F(2x2,3x3) transform matrices (wincnn.py:10-24):
 #   Y = Aᵀ [ (G g Gᵀ) ⊙ (Bᵀ d B) ] A
-G = jnp.asarray([[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]],
-                jnp.float32)
-BT = jnp.asarray([[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]],
-                 jnp.float32)
-AT = jnp.asarray([[1, 1, 1, 0], [0, 1, -1, -1]], jnp.float32)
+# numpy (not jnp) module-level constants: creating device arrays at import
+# time initializes the XLA backend, which breaks jax.distributed.initialize
+# in multi-process workers (parallel/multihost.py)
+G = np.asarray([[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]],
+               np.float32)
+BT = np.asarray([[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]],
+                np.float32)
+AT = np.asarray([[1, 1, 1, 0], [0, 1, -1, -1]], np.float32)
 
 
 def filter_transform(w: jax.Array) -> jax.Array:

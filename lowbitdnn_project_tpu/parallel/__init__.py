@@ -25,6 +25,7 @@ from lowbitdnn_project_tpu.parallel.pipeline import (
     make_pipeline_mesh,
     pipeline_apply,
     run_pipeline,
+    run_pipeline_het,
     shard_stage_params,
 )
 
@@ -37,6 +38,7 @@ __all__ = [
     "make_pipeline_mesh",
     "pipeline_apply",
     "run_pipeline",
+    "run_pipeline_het",
     "shard_stage_params",
     "DATA_AXIS",
     "MODEL_AXIS",

@@ -18,12 +18,19 @@ Mechanics (the scaling-book pipelining recipe):
   * Like jax.lax control flow requires, the loop body is shape-static;
     ingest/emit are select/dynamic-index ops predicated on the tick.
 
-Scope: homogeneous stages (every stage's params share one pytree
-structure/shape — the stacked-leaf representation requires it). CNN stems /
-heterogeneous stage towers run outside the PP region on their own devices;
-documented, not hidden. Bit-exactness vs the sequential tower is asserted
-in tests/test_pipeline.py (integer blocks exact; float epilogues within the
-repo's |delta| <= 1 requant oracle).
+Two pipelines:
+  * ``run_pipeline`` — homogeneous stages (every stage's params share one
+    pytree structure/shape; stacked leaves sharded over the stage axis).
+  * ``run_pipeline_het`` — HETEROGENEOUS stages (e.g. ResNet's four
+    residual stages with different widths/spatial dims). Each stage's
+    params are flattened to raw bytes, padded to the max stage size, and
+    stacked into one (S, B) uint8 array sharded P(stage) — true 1/S weight
+    residency without a common pytree structure. Activations travel as a
+    flat max-size carrier vector; each device runs its stage via
+    ``lax.switch`` on its stage index (SPMD requires one program; the
+    switch holds all S stage graphs, executes one). Bit-exactness vs the
+    sequential tower is asserted in tests/test_pipeline.py (integer blocks
+    exact; float epilogues within the repo's |delta| <= 1 requant oracle).
 
 Reference parity: the reference is single-GPU (SURVEY.md §2); this is the
 TPU-native distributed layer's depth axis.
@@ -148,3 +155,156 @@ def run_pipeline(
         out_specs=P())
     return jax.jit(f)(shard_stage_params(params_stacked, mesh),
                       jax.device_put(xs, NamedSharding(mesh, P())))
+
+
+# --------------------------------------------------- heterogeneous stages
+
+def _leaf_meta(leaf):
+    import numpy as np
+
+    dt = jnp.asarray(leaf).dtype
+    nbytes = int(np.prod(leaf.shape)) * dt.itemsize
+    return tuple(leaf.shape), dt, nbytes
+
+
+def pack_stage_params(stage_params):
+    """Flatten each stage's pytree to raw bytes; pad & stack to (S, B) uint8.
+
+    Returns (packed, metas, treedefs): ``packed[r]`` holds stage r's leaves
+    back-to-back as bytes; ``metas[r]`` is a list of (offset, shape, dtype)
+    (static), ``treedefs[r]`` the stage treedef. This is how heterogeneous
+    stage weights get true 1/S residency on a stage-sharded mesh axis: the
+    byte rows stack even though the pytrees don't.
+    """
+    packed_rows, metas, treedefs = [], [], []
+    for sp in stage_params:
+        leaves, treedef = jax.tree_util.tree_flatten(sp)
+        meta, chunks, off = [], [], 0
+        for leaf in leaves:
+            arr = jnp.asarray(leaf)
+            shape, dt, nbytes = _leaf_meta(arr)
+            meta.append((off, shape, dt))
+            b = jax.lax.bitcast_convert_type(arr.reshape(-1), jnp.uint8)
+            chunks.append(b.reshape(-1))
+            off += nbytes
+        packed_rows.append(jnp.concatenate(chunks) if chunks
+                           else jnp.zeros((0,), jnp.uint8))
+        metas.append(meta)
+        treedefs.append(treedef)
+    b_max = max(r.shape[0] for r in packed_rows)
+    packed = jnp.stack([
+        jnp.pad(r, (0, b_max - r.shape[0])) for r in packed_rows])
+    return packed, metas, treedefs
+
+
+def unpack_stage_params(row: jax.Array, meta, treedef):
+    """Inverse of one pack_stage_params row (static offsets: free slicing)."""
+    leaves = []
+    for off, shape, dt in meta:
+        n = 1
+        for d in shape:
+            n *= d
+        nbytes = n * dt.itemsize
+        seg = jax.lax.slice(row, (off,), (off + nbytes,))
+        if dt.itemsize == 1:
+            arr = jax.lax.bitcast_convert_type(seg, dt)
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                seg.reshape(n, dt.itemsize), dt)
+        leaves.append(arr.reshape(shape))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def run_pipeline_het(
+    stage_fns,                    # list of S fns: (stage_params, x) -> y
+    stage_params,                 # list of S pytrees (heterogeneous)
+    xs: jax.Array,                # (M, *in0_shape) microbatches
+    mesh: Mesh,
+):
+    """GPipe microbatch pipeline over HETEROGENEOUS stages.
+
+    Stage r's input/output shapes may differ (inferred via eval_shape by
+    chaining the stage fns); activations ride a flat max-size carrier of
+    the common dtype. Weights: packed byte rows, one per device. Returns
+    (M, *out_shape) outputs from the last stage.
+    """
+    from jax import shard_map
+
+    s = mesh.shape[PIPE_AXIS]
+    if len(stage_fns) != s or len(stage_params) != s:
+        raise ValueError(f"{len(stage_fns)} stage fns / "
+                         f"{len(stage_params)} params != {s} mesh stages")
+    m = xs.shape[0]
+
+    # chain shapes through the stages (no execution)
+    in_shapes, out_shapes = [], []
+    cur = jax.ShapeDtypeStruct(xs.shape[1:], xs.dtype)
+    for r in range(s):
+        in_shapes.append(cur.shape)
+        cur = jax.eval_shape(stage_fns[r], stage_params[r], cur)
+        if cur.dtype != xs.dtype:
+            raise ValueError(
+                f"stage {r} changes carrier dtype {xs.dtype} -> {cur.dtype};"
+                " all stages must keep one carrier dtype")
+        out_shapes.append(cur.shape)
+
+    import numpy as np
+
+    sizes_in = [int(np.prod(sh)) for sh in in_shapes]
+    sizes_out = [int(np.prod(sh)) for sh in out_shapes]
+    flat_len = max(sizes_in + sizes_out)
+    out_size = sizes_out[-1]
+
+    packed, metas, treedefs = pack_stage_params(stage_params)
+
+    def body(packed_local, xs_flat):
+        rank = jax.lax.axis_index(PIPE_AXIS)
+        row = packed_local[0]                     # (B,) uint8, MY stage
+
+        def make_branch(r):
+            def branch(state):
+                p = unpack_stage_params(row, metas[r], treedefs[r])
+                x_r = state[:sizes_in[r]].reshape(in_shapes[r])
+                y = stage_fns[r](p, x_r).reshape(-1)
+                return jnp.pad(y, (0, flat_len - sizes_out[r]))
+            return branch
+
+        branches = [make_branch(r) for r in range(s)]
+
+        state = jax.lax.pcast(jnp.zeros((flat_len,), xs_flat.dtype),
+                              PIPE_AXIS, to="varying")
+        outbuf = jax.lax.pcast(jnp.zeros((m, out_size), xs_flat.dtype),
+                               PIPE_AXIS, to="varying")
+        shift = [(i, i + 1) for i in range(s - 1)]
+
+        def tick(t, carry):
+            state, outbuf = carry
+            inp = jax.lax.dynamic_index_in_dim(
+                xs_flat, jnp.minimum(t, m - 1), 0, keepdims=False)
+            ingest = jnp.logical_and(rank == 0, t < m)
+            state = jnp.where(ingest, inp, state)
+            y = jax.lax.switch(rank, branches, state)
+            mb = t - (s - 1)
+            idx = jnp.clip(mb, 0, m - 1)
+            emit = jnp.logical_and(rank == s - 1, mb >= 0)
+            curo = jax.lax.dynamic_index_in_dim(outbuf, idx, 0,
+                                                keepdims=False)
+            outbuf = jax.lax.dynamic_update_index_in_dim(
+                outbuf, jnp.where(emit, y[:out_size], curo), idx, 0)
+            state = jax.lax.ppermute(y, PIPE_AXIS, shift)
+            return state, outbuf
+
+        _, outbuf = jax.lax.fori_loop(0, m + s - 1, tick, (state, outbuf))
+        mask = (rank == s - 1).astype(outbuf.dtype)
+        return jax.lax.psum(outbuf * mask, PIPE_AXIS)
+
+    xs_flat = xs.reshape(m, -1)
+    if xs_flat.shape[1] < flat_len:
+        xs_flat = jnp.pad(xs_flat, ((0, 0), (0, flat_len - xs_flat.shape[1])))
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(PIPE_AXIS, None), P()), out_specs=P())
+    packed_s = jax.device_put(packed, NamedSharding(mesh, P(PIPE_AXIS, None)))
+    out = jax.jit(f)(packed_s,
+                     jax.device_put(xs_flat, NamedSharding(mesh, P())))
+    return out.reshape((m,) + out_shapes[-1])

@@ -31,7 +31,10 @@ def _shard_qtensor_on_axis(q: QTensor, mesh: Mesh, channel_axis: int) -> QTensor
         scale = jax.device_put(q.scale, NamedSharding(mesh, P(*spec)))
     else:
         scale = jax.device_put(q.scale, NamedSharding(mesh, P()))
-    return QTensor(values=values, scale=scale, bits=q.bits, axis=q.axis)
+    zp = None if q.zero_point is None else jax.device_put(
+        q.zero_point, NamedSharding(mesh, P()))
+    return QTensor(values=values, scale=scale, bits=q.bits, axis=q.axis,
+                   zero_point=zp)
 
 
 def shard_qparams_tp(qparams: Any, mesh: Mesh) -> Any:
