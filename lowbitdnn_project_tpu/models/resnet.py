@@ -600,6 +600,136 @@ def apply_pipelined_int8chain(
                                      backend=backend, start_at_stage=4)
 
 
+def apply_spatial_int8chain(
+    qparams: Dict[str, Any],
+    x: jax.Array,
+    act_scales: Dict[str, jax.Array],
+    cfg: ResNetConfig,
+    mesh,
+    axis_name: Optional[str] = None,
+    act_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Spatially-partitioned (H-sharded) int8 ResNet forward — SP's stated
+    use case: batch-1 / big-image serving where one activation map
+    dominates. The stem (7x7 s2 + maxpool) and every residual stage run
+    H-sharded with ppermute halo exchange, INCLUDING the stride-2
+    downsample boundaries (asymmetric halos, parallel/spatial.py). The SP
+    region ends at a statically computed cut once the feature map is too
+    small to shard (H not divisible / rows thinner than the halo); the
+    remaining tail runs through apply_quantized_int8chain, with XLA's SPMD
+    partitioner handling the re-shard at the boundary.
+
+    Numerics: int32 accumulation is bit-identical to the unsharded chain;
+    float epilogues may differ by 1 ULP per program (XLA FMA contraction),
+    so outputs follow the repo's |delta| <= 1 requant oracle.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lowbitdnn_project_tpu.parallel.mesh import MODEL_AXIS
+    from lowbitdnn_project_tpu.parallel.spatial import (
+        qconv2d_sp, qmax_pool2d_sp, shard_spatial)
+    from lowbitdnn_project_tpu.quant import quantize
+    from lowbitdnn_project_tpu.quant.qtensor import QTensor
+
+    axis = axis_name or MODEL_AXIS
+    sp = mesh.shape[axis]
+    s = act_scales
+    x_q = x if isinstance(x, QTensor) else quantize(x, scale=s["conv1"])
+    n, h0, w0, _ = x_q.shape
+
+    # ---- static SP-cut computation (pure shape arithmetic) ----
+    def shardable(h, stride, top_halo):
+        if h % sp:
+            return False
+        hl = h // sp
+        return hl % stride == 0 and hl >= max(top_halo, 1)
+
+    if not (shardable(h0, 2, 3) and shardable(h0 // 2, 2, 1)):
+        raise ValueError(
+            f"input H={h0} cannot be H-sharded {sp} ways through the stem; "
+            f"use the plain chain")
+    cut, h_in = 0, h0 // 4                       # stem + pool done
+    for st in range(4):
+        stride = 2 if st > 0 else 1
+        if not shardable(h_in, stride, 1):
+            break
+        cut, h_in = st + 1, h_in // stride
+    if cut == 0:
+        # start_at_stage=0 would re-run the stem; an SP region that cannot
+        # even cover layer1 is pointless anyway
+        raise ValueError(
+            f"H={h0 // 4} after the stem cannot be sharded {sp} ways "
+            f"through layer1; use the plain chain")
+
+    def next_site(st, i):
+        if i + 1 < cfg.stage_blocks[st]:
+            return f"layer{st + 1}.{i + 1}.conv1"
+        if st < 3:
+            return f"layer{st + 2}.0.conv1"
+        return "fc"
+
+    def body(xv, qp):
+        def cb(xvals, in_scale, p, relu, out_scale=None, stride=1,
+               pad_w=None):
+            comb = (jnp.asarray(in_scale, jnp.float32)
+                    * p.weight.scale_vector()).reshape(-1)
+            return qconv2d_sp(xvals, p.weight.values, comb, p.bias,
+                              stride=stride, pad_w=pad_w, relu=relu,
+                              out_scale=out_scale, axis_name=axis)
+
+        hq = cb(xv, s["conv1"], qp["conv1"], relu=True,
+                out_scale=s["layer1.0.conv1"], stride=2, pad_w=3)
+        hq = qmax_pool2d_sp(hq, 3, 2, 1, axis_name=axis)
+        cur_scale = s["layer1.0.conv1"]
+        for st in range(cut):
+            for i, blk in enumerate(qp[f"layer{st + 1}"]):
+                stride = 2 if (st > 0 and i == 0) else 1
+                pre = f"layer{st + 1}.{i}"
+                s_out = s[next_site(st, i)]
+                if cfg.bottleneck:
+                    b1 = cb(hq, cur_scale, blk["conv1"], relu=True,
+                            out_scale=s[f"{pre}.conv2"])
+                    b2 = cb(b1, s[f"{pre}.conv2"], blk["conv2"], relu=True,
+                            out_scale=s[f"{pre}.conv3"], stride=stride)
+                    hf = cb(b2, s[f"{pre}.conv3"], blk["conv3"], relu=False)
+                else:
+                    b1 = cb(hq, cur_scale, blk["conv1"], relu=True,
+                            out_scale=s[f"{pre}.conv2"], stride=stride)
+                    hf = cb(b1, s[f"{pre}.conv2"], blk["conv2"], relu=False)
+                if "downsample" in blk:
+                    idf = cb(hq, cur_scale, blk["downsample"], relu=False,
+                             stride=stride, pad_w=0)
+                else:
+                    idf = hq.astype(jnp.float32) * jnp.asarray(
+                        cur_scale, jnp.float32)
+                # match the plain chain's numerics exactly: bf16 add domain
+                # (qconv2d out_dtype=act_dtype) and f32 division at requant
+                # (quant.quantize) — same |delta|<=1 oracle as the chain
+                out_f = jnp.maximum(hf.astype(act_dtype)
+                                    + idf.astype(act_dtype), 0.0)
+                q = jnp.round(out_f.astype(jnp.float32)
+                              / jnp.asarray(s_out, jnp.float32))
+                hq = jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+                cur_scale = s_out
+        return hq
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(None, axis, None, None), P()),
+                   out_specs=P(None, axis, None, None))
+    feats = fn(shard_spatial(x_q.values, mesh, axis), qparams)
+    if cut < 4:
+        # gather the (tiny) post-cut feature map: the tail's strided int8
+        # convs on an H-sharded operand trip an XLA SPMD partitioner bug
+        # (mis-typed pad-value broadcast), and at H<=8 rows the gather is
+        # noise anyway
+        feats = jax.device_put(feats, NamedSharding(mesh, P()))
+    cut_scale = s["fc"] if cut == 4 else s[f"layer{cut + 1}.0.conv1"]
+    x_tail = QTensor(values=feats, scale=jnp.asarray(cut_scale, jnp.float32))
+    return apply_quantized_int8chain(qparams, x_tail, s, cfg, backend="xla",
+                                     start_at_stage=cut)
+
+
 def calibrate_act_scales(
     params: Dict[str, Any],
     batches,
