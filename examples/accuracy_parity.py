@@ -10,10 +10,20 @@ residuals w/ depthwise + ReLU6 — the harder case for per-tensor activation
 scales).
 
 Pipeline per family: synthetic 10-class dataset -> QAT training (STE
-fake-quant, train/qat.py) -> evaluate the SAME checkpoint three ways:
-  fp32   : apply_fp32
-  int8   : quantize_params(bits=8) + calibrated int8 chain
-  w4a8   : quantize_params(bits=4) weights, int8 activations
+fake-quant, train/qat.py; heavy-ball momentum for MobileNet, which plain
+SGD leaves near chance) -> evaluate the SAME checkpoint:
+  fp32        : apply_fp32
+  int8        : quantize_params(bits=8) + calibrated int8 chain
+  w4a8        : quantize_params(bits=4) weights, int8 activations
+  (ResNet also A/Bs:)
+  int8_uint8acts : asymmetric uint8 activations at post-ReLU sites
+                   (the reference's uint8x4 configs — free range doubling)
+  int8_sigma / int8_percentile : calibration-strategy A/B vs absmax
+                   (quant/calibrate.py strategies; the reference's ±4σ
+                   methodology, weights.py:8-26)
+
+Every family row carries an explicit pass/fail against targets_pct — a
+miss is flagged in the artifact, never silent.
 
 Run: python examples/accuracy_parity.py [steps]  (CPU-friendly sizes)
 Writes accuracy_parity.json next to the repo bench artifacts.
@@ -34,10 +44,16 @@ MOBILENET_CFG = mobilenet.MobileNetV2Config(
     stages=((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 2, 2)),
     num_classes=10, stem_ch=16, head_ch=64)
 
+# (module, cfg, lr, momentum, steps_scale): MobileNet needs momentum and
+# ~4x the steps to clear a meaningful fp32 baseline (round-2 advisor
+# finding: the earlier artifact silently reported deltas off a near-chance
+# 0.20 baseline).
 FAMILIES = {
-    "resnet": (resnet, RESNET_CFG, 3e-3),
-    "mobilenet_v2": (mobilenet, MOBILENET_CFG, 1e-3),
+    "resnet": (resnet, RESNET_CFG, 3e-3, 0.0, 1),
+    "mobilenet_v2": (mobilenet, MOBILENET_CFG, 3e-3, 0.9, 4),
 }
+
+TARGETS_PCT = {"int8": 0.5, "w4a8": 1.5}
 
 
 def make_templates(rng, num_classes=10, hw=32):
@@ -58,34 +74,58 @@ def accuracy(logits, y):
     return float(jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32)))
 
 
-def run_family(mod, cfg, lr, data, steps, batch, seed):
+def run_family(fam, mod, cfg, lr, momentum, data, steps, batch, seed):
     x_train, y_train, x_test, y_test = data
     params = mod.init_params(jax.random.key(seed), cfg)
     step = jax.jit(make_qat_train_step(
-        lambda p, xx: mod.apply_fp32(p, xx, cfg), bits=8, lr=lr))
+        lambda p, xx: mod.apply_fp32(p, xx, cfg), bits=8, lr=lr,
+        momentum=momentum))
 
     nb = x_train.shape[0] // batch
+    vel = None
     for it in range(steps):
         i = it % nb
-        params, loss = step(params, x_train[i * batch:(i + 1) * batch],
-                            y_train[i * batch:(i + 1) * batch])
-        if it % 100 == 0:
+        xb = x_train[i * batch:(i + 1) * batch]
+        yb = y_train[i * batch:(i + 1) * batch]
+        if momentum > 0.0:
+            params, loss, vel = step(params, xb, yb, vel)
+        else:
+            params, loss = step(params, xb, yb)
+        if it % 200 == 0:
             print(f"  step {it}: loss {float(loss):.4f}", flush=True)
 
     fp32_logits = jax.jit(
         lambda p, xx: mod.apply_fp32(p, xx, cfg))(params, x_test)
     results = {"fp32": accuracy(fp32_logits, y_test)}
+    relerr = {}   # logit fidelity ||q - fp32|| / ||fp32||: a finer signal
+    # than saturated top-1 for A/B-ing calibration strategies
+    fnorm = float(jnp.linalg.norm(fp32_logits))
+
+    def evaluate(name, qp, **kw):
+        logits = jax.jit(lambda p, xx: mod.apply_quantized_int8chain(
+            p, xx, kw.pop("scales", scales), cfg, backend="xla",
+            **kw))(qp, x_test)
+        results[name] = accuracy(logits, y_test)
+        relerr[name] = round(
+            float(jnp.linalg.norm(logits - fp32_logits)) / fnorm, 4)
 
     scales = mod.calibrate_act_scales(params, [x_train[:128]], cfg)
-    for name, bits in (("int8", 8), ("w4a8", 4)):
-        qp = mod.quantize_params(params, cfg, bits=bits)
-        logits = jax.jit(lambda p, xx: mod.apply_quantized_int8chain(
-            p, xx, scales, cfg, backend="xla"))(qp, x_test)
-        results[name] = accuracy(logits, y_test)
-    return results
+    evaluate("int8", mod.quantize_params(params, cfg, bits=8))
+    evaluate("w4a8", mod.quantize_params(params, cfg, bits=4))
+
+    if fam == "resnet":
+        qp8 = mod.quantize_params(params, cfg, bits=8)
+        # uint8 asymmetric activations: same absmax scales, 256 levels
+        evaluate("int8_uint8acts", qp8, act_unsigned=True)
+        # calibration-strategy A/B (absmax is the 'int8' row above)
+        for strat in ("sigma", "percentile"):
+            s2 = mod.calibrate_act_scales(params, [x_train[:128]], cfg,
+                                          strategy=strat)
+            evaluate(f"int8_{strat}", qp8, scales=s2)
+    return results, relerr
 
 
-def main(steps=300, batch=64, seed=0):
+def main(steps=400, batch=64, seed=0):
     rng = np.random.default_rng(seed)
     templates = make_templates(rng)
     x_train, y_train = synthetic_classes(rng, templates, 512)
@@ -94,24 +134,32 @@ def main(steps=300, batch=64, seed=0):
 
     out = {
         "dataset": "synthetic-10class-32x32 (zero-egress stand-in)",
-        "train_steps": steps,
-        "targets_pct": {"int8": 0.5, "w4a8": 1.5},
+        "targets_pct": TARGETS_PCT,
         "models": {},
     }
-    for fam, (mod, cfg, lr) in FAMILIES.items():
-        print(f"[{fam}] QAT training {steps} steps...", flush=True)
-        results = run_family(mod, cfg, lr, data, steps, batch, seed)
+    all_pass = True
+    for fam, (mod, cfg, lr, momentum, steps_scale) in FAMILIES.items():
+        fam_steps = steps * steps_scale
+        print(f"[{fam}] QAT training {fam_steps} steps "
+              f"(lr {lr}, momentum {momentum})...", flush=True)
+        results, relerr = run_family(fam, mod, cfg, lr, momentum, data,
+                                     fam_steps, batch, seed)
+        deltas = {k: round(100 * (results["fp32"] - v), 2)
+                  for k, v in results.items() if k != "fp32"}
+        passes = {k: bool(deltas[k] <= TARGETS_PCT[k]) for k in TARGETS_PCT}
+        all_pass &= all(passes.values())
         out["models"][fam] = {
+            "train_steps": fam_steps,
             "top1": {k: round(v, 4) for k, v in results.items()},
-            "delta_pct": {
-                "int8": round(100 * (results["fp32"] - results["int8"]), 2),
-                "w4a8": round(100 * (results["fp32"] - results["w4a8"]), 2),
-            },
+            "delta_pct": deltas,
+            "logit_relerr": relerr,
+            "pass": passes,
         }
+    out["all_targets_met"] = bool(all_pass)
     print(json.dumps(out, indent=1))
     with open("accuracy_parity.json", "w") as f:
         json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400)

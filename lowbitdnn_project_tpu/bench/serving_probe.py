@@ -1,5 +1,11 @@
 """Serving-latency table: INT8 vs W4A8 ResNet-50 at batch 1-8.
 
+Round-3 note: the round-2 artifact (serving_latency_r2.json, b1 271.7 us)
+predates the fused-stem routing — the XLA C=3 stem emitter costs ~120 us
+at batch 1 and kernels/stem_fused.py removes almost all of it (in-chain
+stem: 5.7 us, bench/probes/serving_bisect.py). The r3 table reflects the
+shipped chain; see serving_bisect_r3.json for the stage decomposition.
+
 The W4A8 config carries int4 weights everywhere and runs them through the
 same fused XLA int8 chain (int4 values stored in int8 lanes) — measured at
 parity with the INT8 config at every batch. The third column is the
@@ -9,7 +15,7 @@ the W4A8 kernel, use_w4a8_1x1=True): kept as the measured NEGATIVE result
 defaults off (models/resnet.py apply_quantized_int8chain).
 
 Run: python -m lowbitdnn_project_tpu.bench.serving_probe
-Writes serving_latency_r2.json.
+Writes serving_latency_r3.json.
 """
 from __future__ import annotations
 
@@ -88,7 +94,7 @@ def main():
         rows.append(res)
         print(res, flush=True)
 
-    with open("serving_latency_r2.json", "w") as f:
+    with open("serving_latency_r3.json", "w") as f:
         json.dump(rows, f, indent=1)
 
 

@@ -57,6 +57,22 @@ def _conv_step(cfg_name: str, x, w, stride, pad, scale):
                 out = out.astype(jnp.bfloat16)
             return _chain_int(c, out)
         return step, x
+    if cfg_name == "uint8_xla":
+        # asymmetric uint8 activations (reference uint8x4 configs,
+        # cpp/apps/config.json:55-80): int8 payload + zp=-128, zp-padding +
+        # row-sum correction in the epilogue (ops/conv.py)
+        from lowbitdnn_project_tpu.ops.conv import qconv2d
+        wq = QTensor(values=w, scale=jnp.asarray(0.01, jnp.float32))
+        zp = jnp.asarray(-128, jnp.int32)
+
+        def step(c):
+            xq = QTensor(values=c, scale=jnp.asarray(0.004, jnp.float32),
+                         zero_point=zp)
+            q = qconv2d(xq, wq, stride=stride, padding=pad, relu=True,
+                        out_scale=jnp.asarray(0.5, jnp.float32),
+                        out_unsigned=True)
+            return _chain_int(c, q.values)
+        return step, x
     if cfg_name == "bf16_xla":
         xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
 
@@ -171,16 +187,36 @@ def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
     rng = np.random.default_rng(seed)
     chip = detect_chip()
     results = []
-    for b, hw, cin, cout in itertools.product(
-            exp["batch"], exp["spatial"], exp["channels"], exp["filters"]):
+    cells = [c for c in itertools.product(
+        exp["batch"], exp["spatial"], exp["channels"], exp["filters"])
+        if c[3] >= c[2]]        # reference skips numFilters < C
+    # deterministic grid subsampling for reference-scale planes (the full
+    # {8..256}^2 x C,K{32..2048} x B{16..128} plane is hundreds of cells;
+    # "sample": s keeps every s-th)
+    cells = cells[::exp.get("sample", 1)]
+    for b, hw, cin, cout in cells:
         k, stride, pad = exp["kernel"], exp["stride"], exp["pad"]
-        if cout < cin:          # reference skips numFilters < C
+        oh_est = (hw + 2 * pad - k) // stride + 1
+        est_bytes = (b * hw * hw * cin            # int8 activations
+                     + b * oh_est * oh_est * cout * 4   # int32 acc
+                     + k * k * cin * cout)
+        if est_bytes > 4e9:
+            # OOM guard: a killed/OOM'd kernel can wedge the remote device
+            # for the rest of the process (CLAUDE.md) — skip, keep sweeping
+            results.append(dict(experiment=exp["name"], batch=b, hw=hw,
+                                cin=cin, cout=cout,
+                                skipped="oom-guard (>4GB)"))
             continue
         x = _rand_int8(rng, (b, hw, hw, cin))
         w = _rand_int8(rng, (k, k, cin, cout))
         scale = jnp.full((1, 1, 1, cout), 0.01, jnp.float32)
         oh = (hw + 2 * pad - k) // stride + 1
+        # experiment-level config filter (e.g. wide_plane times only the
+        # reference-analogous dtype configs, not every lab kernel)
+        allowed = exp.get("configs")
         for cfg in configs:
+            if allowed and cfg["name"] not in allowed:
+                continue
             # score each config against ITS dtype's roofline
             if cfg["dtype"] == "bf16":
                 cost = conv_cost(b, oh, oh, k, k, cin, cout, hw, hw,

@@ -735,19 +735,40 @@ def calibrate_act_scales(
     batches,
     cfg: ResNetConfig = RESNET18,
     bits: int = 8,
+    strategy: str = "absmax",
+    sigma_k: float = 4.0,
+    percentile: float = 99.99,
 ) -> Dict[str, jax.Array]:
     """Static activation calibration: run FP32 forwards over calibration
-    batches, record absmax at every conv/linear input site, return
-    site -> scale. (Reference quantizes dynamically per batch,
-    qconv2d.py:52-56; static calibration is the production upgrade.)"""
+    batches, record per-site statistics, return site -> scale. (Reference
+    quantizes dynamically per batch, qconv2d.py:52-56; static calibration
+    is the production upgrade.)
+
+    strategy selects the range rule (quant/calibrate.py Calibrator twins,
+    accuracy-A/B'd in examples/accuracy_parity.py):
+      * "absmax"     — max |x| over all batches (the reference's rule)
+      * "sigma"      — |mean| + k*std, clipped to absmax (the reference's
+                       ±4σ methodology, weights.py:8-26)
+      * "percentile" — p-th percentile of |x| per batch, max over batches
+                       (a conservative streaming estimator: never below
+                       any single batch's percentile)
+    """
     from lowbitdnn_project_tpu.quant.qtensor import QMAX
 
     @jax.jit
-    def site_absmax(params, x):
+    def site_stats(params, x):
         caps: Dict[str, jax.Array] = {}
 
         def track(name, v):
-            caps[name] = jnp.max(jnp.abs(v))
+            stats = {"absmax": jnp.max(jnp.abs(v))}
+            if strategy == "sigma":
+                vf = v.astype(jnp.float32)
+                stats.update(n=jnp.float32(vf.size), s=jnp.sum(vf),
+                             ss=jnp.sum(vf * vf))
+            elif strategy == "percentile":
+                stats["pct"] = jnp.percentile(
+                    jnp.abs(v.astype(jnp.float32)).ravel(), percentile)
+            caps[name] = stats
             return v
 
         out = _conv_f32(track("conv1", x), params["conv1"], stride=2, padding=3)
@@ -783,10 +804,31 @@ def calibrate_act_scales(
         track("fc", out)
         return caps
 
-    maxima: Dict[str, jax.Array] = {}
+    acc: Dict[str, Dict[str, jax.Array]] = {}
     for x in batches:
-        caps = site_absmax(params, x)
-        for k, v in caps.items():
-            maxima[k] = jnp.maximum(maxima[k], v) if k in maxima else v
+        caps = site_stats(params, x)
+        for k, st in caps.items():
+            if k not in acc:
+                acc[k] = dict(st)
+                continue
+            a = acc[k]
+            a["absmax"] = jnp.maximum(a["absmax"], st["absmax"])
+            if strategy == "sigma":
+                for f in ("n", "s", "ss"):
+                    a[f] = a[f] + st[f]
+            elif strategy == "percentile":
+                a["pct"] = jnp.maximum(a["pct"], st["pct"])
+
+    def range_max(a):
+        if strategy == "absmax":
+            return a["absmax"]
+        if strategy == "sigma":
+            mean = a["s"] / a["n"]
+            var = jnp.maximum(a["ss"] / a["n"] - mean * mean, 0.0)
+            return jnp.minimum(jnp.abs(mean) + sigma_k * jnp.sqrt(var),
+                               a["absmax"])
+        return a["pct"]
+
     qmax = QMAX[bits]
-    return {k: jnp.maximum(v, 1e-12) / qmax for k, v in maxima.items()}
+    return {k: jnp.maximum(range_max(a), 1e-12) / qmax
+            for k, a in acc.items()}

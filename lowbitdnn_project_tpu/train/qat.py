@@ -22,12 +22,19 @@ from lowbitdnn_project_tpu.quant import fake_quantize
 
 def fake_quantize_tree(params: Any, bits: int = 8) -> Any:
     """Fake-quantize every conv (ndim 4, axis 3) and linear (ndim 2, axis 1)
-    weight in a param pytree; 1-D tensors (BN, bias) pass through."""
+    weight in a param pytree; 1-D tensors (BN, bias) pass through.
+
+    Depthwise conv weights (HWIO with I==1) stay at 8 bits when bits < 8,
+    matching deployment (models/mobilenet.py quantize_params dw_bits
+    rationale) — fake-quant precision must mirror deploy precision or the
+    fine-tune optimizes the wrong network."""
     def go(x):
         if not isinstance(x, jax.Array) and not hasattr(x, "ndim"):
             return x
         if x.ndim == 4:
-            return fake_quantize(x, bits=bits, axis=3)
+            b = 8 if (bits < 8 and x.shape[2] == 1 and x.shape[0] > 1) \
+                else bits
+            return fake_quantize(x, bits=b, axis=3)
         if x.ndim == 2:
             return fake_quantize(x, bits=bits, axis=1)
         return x
@@ -52,19 +59,23 @@ def make_qat_train_step(
     apply_fn: Callable[[Any, jax.Array], jax.Array],
     bits: int = 8,
     lr: float = 1e-3,
-) -> Callable[[Any, jax.Array, jax.Array], Tuple[Any, jax.Array]]:
+    momentum: float = 0.0,
+) -> Callable[..., Tuple[Any, jax.Array]]:
     """Build a jittable SGD step: loss = CE(apply_fn(fake_quant(params), x)).
 
-    Returns (new_params, loss). Gradients flow through the fake-quant STE.
-    Non-float pytree leaves (e.g. MobileNet's per-block `stride` ints) are
-    treated as static: passed through to apply_fn, excluded from grad.
+    Returns (new_params, loss), or with momentum > 0 a step taking and
+    returning an optimizer-state velocity list:
+    ``step(params, x, labels, vel) -> (params, loss, vel)`` (heavy-ball;
+    pass ``vel=None`` on the first call). Gradients flow through the
+    fake-quant STE. Non-float pytree leaves are treated as static: passed
+    through to apply_fn, excluded from grad.
     """
     def loss_fn(params, x, labels):
         qparams = fake_quantize_tree(params, bits=bits)
         logits = apply_fn(qparams, x)
         return cross_entropy(logits, labels)
 
-    def step(params, x, labels):
+    def step(params, x, labels, vel=None):
         flat, treedef = jax.tree_util.tree_flatten(params)
         diff_idx = [i for i, l in enumerate(flat) if _is_inexact(l)]
 
@@ -78,6 +89,14 @@ def make_qat_train_step(
         diff_leaves = [flat[i] for i in diff_idx]
         loss, grads = jax.value_and_grad(diff_loss)(diff_leaves)
         new_flat = list(flat)
+        if momentum > 0.0:
+            if vel is None:
+                vel = [jnp.zeros_like(flat[i]) for i in diff_idx]
+            vel = [momentum * v + g for v, g in zip(vel, grads)]
+            for i, v in zip(diff_idx, vel):
+                new_flat[i] = flat[i] - lr * v
+            return (jax.tree_util.tree_unflatten(treedef, new_flat), loss,
+                    vel)
         for i, g in zip(diff_idx, grads):
             new_flat[i] = flat[i] - lr * g
         return jax.tree_util.tree_unflatten(treedef, new_flat), loss
