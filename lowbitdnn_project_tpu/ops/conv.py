@@ -155,7 +155,9 @@ def qconv2d(
       out_unsigned: with out_scale and relu, emit an asymmetric QTensor
         (zero_point=-128) — the outputs are one-sided post-ReLU, so this
         spends all 256 levels on [0, out_scale*255].
-      backend: "auto" | "xla" | "gemm" (Pallas im2col GEMM) | "direct"
+      backend: "auto" | "xla" | "xla_gemm" (xla, but 1x1 s1 p0 convs run
+        as dot_general — e2e-A/B'd routing experiment) | "gemm"
+        (Pallas im2col GEMM) | "direct"
         (Pallas implicit-GEMM conv, stride 1, C%128==0) | "winograd"
         (fused Pallas F(2x2,3x3), stride 1 pad 1, even H/W, C%128==0)
         | "wpack" (output-pair-packed 3x3 s1 p1 for cin<=64, ops/wpack.py
@@ -252,9 +254,22 @@ def qconv2d(
             raise NotImplementedError("wpack path: 3x3 s1 p1 only")
         return qconv3x3_wpack(x_q, w_q, bias, relu=relu, out_scale=out_scale,
                               out_dtype=out_dtype)
-    elif backend == "xla":
+    elif backend in ("xla", "xla_gemm"):
+        gemm1x1 = (backend == "xla_gemm" and (kh, kw) == (1, 1)
+                   and stride == (1, 1) and padding == (0, 0)
+                   and groups == 1 and x_q.zero_point is None)
         zp = x_q.zero_point
-        if zp is None:
+        if gemm1x1:
+            # 1x1 conv as dot_general: the reshape is a free view and the
+            # GEMM emitter measured +10% on K>=256 deep-layer shapes
+            # (bench/probes/one_by_one_ablate.py) — routing decided by e2e
+            # A/B only (probe-vs-e2e mis-rank rule)
+            acc = jax.lax.dot_general(
+                x_q.values.reshape(n * h * wdim, c),
+                w_q.values.reshape(c, k),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).reshape(n, h, wdim, k)
+        elif zp is None:
             acc = conv2d_int32(
                 x_q.values, w_q.values, stride, padding, dilation, groups)
         else:

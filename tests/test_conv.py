@@ -77,6 +77,26 @@ def test_gemm_path_matches_xla_path(rng, conv_shape):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_backend_xla_gemm_bit_exact(rng):
+    """backend='xla_gemm' (1x1 conv as dot_general) must be BIT-exact vs the
+    conv emitter — same int32 accumulation, same epilogue code. On non-1x1
+    shapes the backend must fall through to the conv path unchanged."""
+    x = _qt(rng.integers(-50, 51, size=(2, 8, 8, 32)), scale=0.1)
+    w1 = _qt(rng.integers(-50, 51, size=(1, 1, 32, 16)), scale=0.02, axis=3)
+    w3 = _qt(rng.integers(-50, 51, size=(3, 3, 32, 16)), scale=0.02, axis=3)
+    bias = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    for wt, pad in ((w1, 0), (w3, 1)):
+        for kw in ({}, {"relu": True},
+                   {"relu": True, "out_scale": jnp.float32(0.5)}):
+            got = qconv2d(x, wt, bias, stride=1, padding=pad,
+                          backend="xla_gemm", **kw)
+            want = qconv2d(x, wt, bias, stride=1, padding=pad,
+                           backend="xla", **kw)
+            gv = got.values if isinstance(got, QTensor) else got
+            wv = want.values if isinstance(want, QTensor) else want
+            np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+
+
 def test_requant_output_within_one(rng):
     n, c, k, h, w, f, s, p = 2, 8, 16, 8, 8, 3, 1, 1
     x = _qt(rng.integers(-50, 51, size=(n, h, w, c)), scale=0.1)
