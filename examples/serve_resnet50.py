@@ -117,6 +117,25 @@ def main():
     qparams, scales = loaded["qparams"], loaded["act_scales"]
     print("checkpoint round-tripped: /tmp/resnet50_int8.lbq")
 
+    # --- int4-packed checkpoint leg: W4A8 weights ship nibble-packed on
+    # disk (utils/checkpoint.py packs bits==4 QTensors), halving the
+    # artifact. Round-trip must be bit-exact through the pack/unpack pair.
+    import os
+    qp4 = jax.jit(lambda p: resnet.quantize_params(p, cfg, bits=4))(params)
+    save_quantized("/tmp/resnet50_w4.lbq", {"qparams": qp4,
+                                            "act_scales": scales})
+    qp4_loaded = load_quantized("/tmp/resnet50_w4.lbq")["qparams"]
+    for a, b in zip(jax.tree_util.tree_leaves(qp4),
+                    jax.tree_util.tree_leaves(qp4_loaded)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            "int4 checkpoint round-trip not bit-exact"
+    sz8 = os.path.getsize("/tmp/resnet50_int8.lbq")
+    sz4 = os.path.getsize("/tmp/resnet50_w4.lbq")
+    print(f"int4-packed checkpoint round-tripped bit-exact: "
+          f"{sz4 / 1e6:.1f} MB vs int8 {sz8 / 1e6:.1f} MB "
+          f"({sz8 / sz4:.2f}x smaller)")
+    serve_w4 = True  # flip off to skip the extra W4A8 chain compile
+
     infer = jax.jit(lambda p, x: resnet.apply_quantized_int8chain(
         p, x, scales, cfg, backend="xla"))
 
@@ -148,6 +167,13 @@ def main():
     x_q = QTensor(values=jnp.asarray(x_int8), scale=jnp.float32(in_scale))
     logits = infer(qparams, x_q)
     top1 = np.asarray(jnp.argmax(logits, -1))
+    if serve_w4:
+        # serve straight from the loaded int4 checkpoint: same chain, W4A8
+        # weights (nibble-unpacked at load; values live in int8 on device)
+        logits_w4 = infer(qp4_loaded, x_q)
+        agree = float(np.mean(np.asarray(jnp.argmax(logits_w4, -1)) == top1))
+        print(f"W4A8 serve from loaded checkpoint: top-1 agreement with "
+              f"int8 = {agree:.2f} on random-init weights")
     print(f"host preprocess: {1000 * (t1 - t0):.1f} ms for 32 imgs "
           f"(C++ OpenMP)")
     print(f"logits {logits.shape}, top-1 of first 8: {top1[:8]}")
