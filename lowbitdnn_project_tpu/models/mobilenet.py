@@ -114,10 +114,13 @@ def _conv_f32(x, w, stride=1, padding=0, groups=1):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=groups)
 
 
-def apply_fp32(params, x, cfg: MobileNetV2Config = MOBILENET_V2):
+def apply_fp32(params, x, cfg: MobileNetV2Config = MOBILENET_V2,
+               stop_after_block: Optional[int] = None):
     strides = block_strides(cfg)
     out = _relu6(_bn_apply(_conv_f32(x, params["stem"]["w"], 2, 1),
                            params["stem"]["bn"]))
+    if stop_after_block == -1:
+        return out
     for i, blk in enumerate(params["blocks"]):
         identity = out
         h = out
@@ -132,6 +135,8 @@ def apply_fp32(params, x, cfg: MobileNetV2Config = MOBILENET_V2):
         if strides[i] == 1 and identity.shape == h.shape:
             h = h + identity
         out = h
+        if stop_after_block == i:
+            return out
     out = _relu6(_bn_apply(_conv_f32(out, params["head"]["w"]), params["head"]["bn"]))
     out = jnp.mean(out, axis=(1, 2))
     return out @ params["fc"]["w"] + params["fc"]["b"]
@@ -232,7 +237,10 @@ def calibrate_act_scales(params, batches, cfg: MobileNetV2Config = MOBILENET_V2,
 def apply_quantized_int8chain(qparams, x, act_scales,
                               cfg: MobileNetV2Config = MOBILENET_V2, *,
                               act_dtype=jnp.bfloat16, add_domain="float",
+                              dw_domain: str = "int8",
+                              stem_domain: str = "auto",
                               backend: str = "auto",
+                              stop_after_block: Optional[int] = None,
                               interpret: bool = False):
     """Fully int8-chained MobileNet-V2: expand/dw/project consume and emit
     int8 at the consumer's calibrated scale. Residual adds default to the
@@ -240,7 +248,19 @@ def apply_quantized_int8chain(qparams, x, act_scales,
     measured faster, same finding as resnet); add_domain="int8" keeps the
     reference-style int16 sum with clip to [-127,127] (no relu - project is
     linear). relu6's upper clamp is subsumed by the requant clip:
-    calibrated post-relu6 scales satisfy 6/s >= 127."""
+    calibrated post-relu6 scales satisfy 6/s >= 127.
+
+    dw_domain="float" runs the depthwise convs in act_dtype (bf16) with the
+    pointwise convs still int8 on the MXU — measured LOSER (0.88x vs int8's
+    0.94x at b128, mobilenet_ab_r3.json): requant epilogues are free
+    in-chain; kept as the documented negative result.
+
+    stem_domain: "auto"/"float" runs the C=3 3x3/s2 stem in act_dtype with
+    the quantize fused into its epilogue; "int8" quantizes the input first.
+    The b128 bisect (mobilenet_bisect_r3.json) found the int8 stem is THE
+    MobileNet int8-vs-bf16 deficit: 297 vs 132 us (C=3 lane starvation —
+    int8 buys nothing at 3 input channels, same arithmetic as the ResNet
+    stem), while the residual blocks in aggregate favor int8."""
     from lowbitdnn_project_tpu.quant import QTensor, quantize
 
     s = act_scales
@@ -263,18 +283,50 @@ def apply_quantized_int8chain(qparams, x, act_scales,
             return f"b{i}.expand" if "expand" in blk else f"b{i}.dw"
         return "head"
 
+    def dw_float(h, blk, stride, cmid):
+        """Depthwise in act_dtype: dequantized per-channel weight, float
+        conv (VPU work either way), relu, quantize back at the project
+        scale — the int8 dw's requant epilogue disappears into this
+        quantize and the conv itself sees no MXU loss (it never had MXU)."""
+        if isinstance(h, QTensor):
+            h = h.dequantize().astype(act_dtype)
+        wf = blk["dw"].weight.dequantize().astype(act_dtype)
+        h = _conv_f32(h, wf, stride, 1, groups=cmid)
+        if blk["dw"].bias is not None:
+            h = h + blk["dw"].bias.astype(act_dtype)
+        # relu6's upper clamp is subsumed by the quantize clip exactly as in
+        # the int8 path (calibrated 6/s >= 127)
+        return jnp.maximum(h, jnp.asarray(0, act_dtype))
+
     strides = block_strides(cfg)
-    x_q = quantize(x, scale=s["stem"])
-    x_q = qc(x_q, qparams["stem"], s[block_in_site(0)], relu=True,
-             stride=2, padding=1)
+    if stem_domain in ("auto", "float"):
+        # float stem: C=3 starves the int8 lane dim (bisect: 297 vs 132 us
+        # at b128); conv in act_dtype straight from the float input, with
+        # the b0 quantize fused into the epilogue. No input quantize at all.
+        wf = qparams["stem"].weight.dequantize().astype(act_dtype)
+        h = _conv_f32(x.astype(act_dtype), wf, 2, 1)
+        if qparams["stem"].bias is not None:
+            h = h + qparams["stem"].bias.astype(act_dtype)
+        h = jnp.maximum(h, jnp.asarray(0, act_dtype))   # 6-clamp ≡ requant clip
+        x_q = quantize(h.astype(jnp.float32), scale=s[block_in_site(0)])
+    else:
+        x_q = quantize(x, scale=s["stem"])
+        x_q = qc(x_q, qparams["stem"], s[block_in_site(0)], relu=True,
+                 stride=2, padding=1)
+    if stop_after_block == -1:
+        return x_q.values
     for i, blk in enumerate(qparams["blocks"]):
         s_out = s[block_in_site(i + 1)]
         h = x_q
         if "expand" in blk:
             h = qc(h, blk["expand"], s[f"b{i}.dw"], relu=True)
         cmid = h.shape[-1]
-        h = qc(h, blk["dw"], s[f"b{i}.project"], relu=True,
-               stride=strides[i], padding=1, groups=cmid)
+        if dw_domain == "float":
+            h = quantize(dw_float(h, blk, strides[i], cmid),
+                         scale=s[f"b{i}.project"])
+        else:
+            h = qc(h, blk["dw"], s[f"b{i}.project"], relu=True,
+                   stride=strides[i], padding=1, groups=cmid)
         residual = (strides[i] == 1 and
                     x_q.shape[-1] == blk["project"].weight.shape[-1])
         if residual and add_domain == "float":
@@ -290,6 +342,8 @@ def apply_quantized_int8chain(qparams, x, act_scales,
                 h = QTensor(values=jnp.clip(sum16, -127, 127).astype(jnp.int8),
                             scale=s_out)
             x_q = h
+        if stop_after_block == i:
+            return x_q.values
     x_q = qc(x_q, qparams["head"], None, relu=True)
     # head emits float (relu6 upper clamp applied here), then pool + fc
     feat = jnp.mean(jnp.minimum(x_q, 6.0).astype(jnp.float32), axis=(1, 2))

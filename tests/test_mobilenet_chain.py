@@ -38,6 +38,45 @@ def test_mobilenet_int8chain_tracks_fp32(rng):
     assert corr > 0.9, corr
 
 
+def test_mobilenet_dw_float_domain_tracks_int8(rng):
+    """dw_domain="float" (bf16 depthwise between int8 pointwise convs) must
+    agree with the all-int8 chain: dw in float is strictly MORE precise than
+    int8 dw, so logits track both the int8 chain and fp32."""
+    params = mobilenet.init_params(jax.random.key(1), CFG)
+    qparams = mobilenet.quantize_params(params, CFG)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    scales = mobilenet.calibrate_act_scales(params, [x], CFG)
+    lf = mobilenet.apply_fp32(params, x, CFG)
+    l8 = mobilenet.apply_quantized_int8chain(qparams, x, scales, CFG)
+    ld = mobilenet.apply_quantized_int8chain(qparams, x, scales, CFG,
+                                             dw_domain="float")
+    rel_f = float(jnp.linalg.norm(ld - lf) / jnp.linalg.norm(lf))
+    rel_8 = float(jnp.linalg.norm(ld - l8) / jnp.linalg.norm(l8))
+    assert rel_f < 0.3, rel_f
+    assert rel_8 < 0.3, rel_8
+    assert (np.argmax(np.asarray(ld), -1)
+            == np.argmax(np.asarray(l8), -1)).mean() >= 0.75
+
+
+def test_mobilenet_stem_domains_agree(rng):
+    """stem_domain="float" (the routed default: C=3 starves the int8 lane
+    dim) must track the all-int8 stem variant; the float stem is strictly
+    more precise, so both track fp32."""
+    params = mobilenet.init_params(jax.random.key(2), CFG)
+    qparams = mobilenet.quantize_params(params, CFG)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    scales = mobilenet.calibrate_act_scales(params, [x], CFG)
+    lf = mobilenet.apply_fp32(params, x, CFG)
+    l_auto = mobilenet.apply_quantized_int8chain(qparams, x, scales, CFG)
+    l_s8 = mobilenet.apply_quantized_int8chain(qparams, x, scales, CFG,
+                                               stem_domain="int8")
+    for lq in (l_auto, l_s8):
+        rel = float(jnp.linalg.norm(lq - lf) / jnp.linalg.norm(lf))
+        assert rel < 0.3, rel
+    assert (np.argmax(np.asarray(l_auto), -1)
+            == np.argmax(np.asarray(l_s8), -1)).mean() >= 0.75
+
+
 def test_mobilenet_int8chain_jits(rng):
     params = mobilenet.init_params(jax.random.key(1), CFG)
     qparams = mobilenet.quantize_params(params, CFG)
