@@ -257,6 +257,7 @@ def apply_quantized_int8chain(
     block_backend: str = "none",
     use_w4a8_1x1: Optional[bool] = None,
     use_wpack: Optional[bool] = None,
+    stage_packs: Optional[Dict[int, Dict[str, Any]]] = None,
     stop_after_stage: Optional[int] = None,
     start_at_stage: int = 0,
     act_unsigned: bool = False,
@@ -288,7 +289,12 @@ def apply_quantized_int8chain(
     (C, Cmid both 128-multiples, float add domain) into ONE Pallas kernel
     in the flat pitched layout (kernels/block_flat.py) — conv1+conv2+conv3+
     add+relu+requant with intermediates never leaving VMEM; consecutive
-    fused blocks chain without layout conversion. "none" runs every conv
+    fused blocks chain without layout conversion. "resident" runs each
+    stage's whole identity-block run as ONE Pallas dispatch with the
+    activation map VMEM-resident across blocks
+    (kernels/stage_resident.py) — the batch-1 serving formulation where
+    the chain is per-op-overhead bound (serving_bisect_r3.json); requires
+    ``stage_packs`` from pack_stage_resident. "none" runs every conv
     separately through ``backend``.
     stop_after_stage: 0..4 — return the int8 QTensor feature map after the
     stem (0) or after residual stage N instead of running the classifier
@@ -436,9 +442,20 @@ def apply_quantized_int8chain(
         # also the in-chain stage-bisection hook for bench/harness
         return x_q
 
+    use_resident = (block_backend == "resident" and stage_packs
+                    and add_domain == "float" and not act_unsigned)
+
     for st in range(start_at_stage, 4):
         blocks = qparams[f"layer{st + 1}"]
         for i, blk in enumerate(blocks):
+            if use_resident and st in stage_packs \
+                    and i == stage_packs[st]["first"]:
+                # whole identity-block run of this stage in ONE dispatch
+                from lowbitdnn_project_tpu.kernels.stage_resident import (
+                    run_stage_resident)
+                x_q = run_stage_resident(x_q, stage_packs[st],
+                                         interpret=interpret)
+                break
             stride = 2 if (st > 0 and i == 0) else 1
             pre = f"layer{st + 1}.{i}"
             s_out = s[next_site(st, i)]

@@ -138,6 +138,48 @@ def main():
     assert db.max() <= 1, db.max()
     print(f"block_l1: |delta|<=1 ok (n_diff {(db > 0).sum()})", flush=True)
 
+    # --- VMEM-resident stage kernel (batch-1 serving formulation) ---
+    from lowbitdnn_project_tpu.kernels.stage_resident import (
+        from_resident, resident_meta, stage_resident_int8, to_resident)
+
+    nblk, c, cmid = 2, 256, 128
+    xr = jnp.asarray(rng.integers(-5, 6, (1, 14, 14, c)), jnp.int8)
+    mr = resident_meta(1, 14, 14)
+    ws1 = jnp.asarray(rng.integers(-5, 6, (nblk * c, cmid)), jnp.int8)
+    ws2 = jnp.asarray(rng.integers(-5, 6, (nblk * 9 * cmid, cmid)), jnp.int8)
+    ws3 = jnp.asarray(rng.integers(-5, 6, (nblk * cmid, c)), jnp.int8)
+    sm = jnp.full((nblk, cmid), 0.013037, jnp.float32)
+    sv = jnp.full((nblk, c), 0.011071, jnp.float32)
+    bm_ = jnp.zeros((nblk, cmid), jnp.float32)
+    bv = jnp.zeros((nblk, c), jnp.float32)
+    chain = jnp.asarray([[0.090137, 0.120219, 0.050173, 0.080284],
+                         [0.100837, 0.130919, 0.080284, 0.110395]],
+                        jnp.float32)
+    outr = from_resident(stage_resident_int8(
+        to_resident(xr, mr), ws1, ws2, ws3, sm, bm_, sm, bm_, sv, bv,
+        chain, meta=mr, nblk=nblk), mr)
+
+    def requant(v, s):
+        return jnp.clip(jnp.round(v * (1.0 / s)), -127, 127).astype(jnp.int8)
+
+    refr = xr
+    for b in range(nblk):
+        sy1, sy2, sx, so = (float(chain[b, j]) for j in range(4))
+        a1 = conv2d_int32(refr, ws1[b * c:(b + 1) * c].reshape(1, 1, c, cmid))
+        y1 = requant(jnp.maximum(a1.astype(jnp.float32) * sm[b], 0.0), sy1)
+        a2 = conv2d_int32(
+            y1, ws2[b * 9 * cmid:(b + 1) * 9 * cmid].reshape(3, 3, cmid, cmid),
+            (1, 1), (1, 1))
+        y2 = requant(jnp.maximum(a2.astype(jnp.float32) * sm[b], 0.0), sy2)
+        a3 = conv2d_int32(y2, ws3[b * cmid:(b + 1) * cmid].reshape(
+            1, 1, cmid, c))
+        h3 = a3.astype(jnp.float32) * sv[b] + refr.astype(jnp.float32) * sx
+        refr = requant(jnp.maximum(h3, 0.0), so)
+    dr = np.abs(np.asarray(outr, np.int32) - np.asarray(refr, np.int32))
+    assert dr.max() <= 1, dr.max()
+    print(f"stage_resident: |delta|<=1 ok (n_diff {(dr > 0).sum()})",
+          flush=True)
+
     property_checks()
     print("TPU SMOKE OK")
 
