@@ -232,6 +232,7 @@ def pack_stage_resident(
     act_scales: Dict[str, jax.Array],
     cfg,
     stages: Tuple[int, ...] = (1, 2, 3),
+    cmid_multiple: int = 128,
 ) -> Dict[int, Dict[str, Any]]:
     """Precompute stacked weights/scales for each stage's identity-block run.
 
@@ -260,7 +261,7 @@ def pack_stage_resident(
         if run != list(range(1, len(blocks))) or not run:
             continue
         c_in, cmid = blocks[1]["conv1"].weight.shape[2:4]
-        if c_in % 128 or cmid % 128:
+        if c_in % 128 or cmid % cmid_multiple:
             continue
         w1s, w2s, w3s = [], [], []
         s1s, b1s, s2s, b2s, s3s, b3s, chains = [], [], [], [], [], [], []
