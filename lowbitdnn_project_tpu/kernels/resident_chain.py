@@ -4,29 +4,32 @@ compute between Pallas kernels.
 bench/probes/pallas_tax.py measured the batch-1 composition rules:
   * XLA compute -> pallas operand entry costs ~62 us (once per entry);
   * pallas -> pallas handoff is free;
-  * trivial XLA glue (pad / reshape / stride-2 parity slicing) between
-    pallas calls does not re-trigger the tax;
+  * trivial XLA glue between pallas calls does not re-trigger the tax —
+    but every glue op still pays the ~0.7-2 us per-op dispatch cost, so
+    glue must be MINIMIZED (v1 of this chain round-tripped NHWC<->flat
+    around every kernel: ~60 glue ops = ~40 us, resident_chain_ab v1);
   * the jit input is a free operand (why the fused stem always won).
 
-So the only serving formulation that can beat the classic chain's 110.8 us
-(serving_latency_r3.json) is ONE contiguous pallas region: the fused stem
-(jit input, no tax) feeds per-block kernels chained by glue only.  This
-module provides the two block kernels the stage kernel
-(kernels/stage_resident.py) cannot express, the parity-split glue, and the
-whole-model orchestration:
+v2 design: every kernel speaks NHWC at its boundary and builds the flat
+pitched layout INTERNALLY (static per-row VPU copies — n*h slice copies,
+h <= 56).  The only XLA ops between kernels are the four stride-2 parity
+slices at each downsample boundary (the s2d identity 2i+dy = 2(i+oy)+p
+turns the stride-2 3x3 into static offsets into parity planes — Mosaic has
+no strided slices, XLA does them for free-ish).  conv2 uses a single-dot
+patch build when cmid <= 64 (K=9*cmid=576 feeds the MXU a deep contraction
+where per-tap K=64 GEMMs starve it).
 
-  * block_proj_resident — stride-1 bottleneck block WITH a 1x1 projection
-    identity (ResNet-50 layer1.0: C_in 64 -> C_out 256);
-  * block_ds_resident   — stride-2 downsample block.  The stride never
-    appears in-kernel (Mosaic has no strided slices): the input arrives as
-    the four (h/2, w/2) PARITY PLANES, split in XLA glue (free), and each
-    3x3 tap (dy, dx) becomes a static offset (oy, ox in {-1, 0}) into
-    plane ((dy & 1), (dx & 1)) — the s2d identity 2i+dy = 2(i+oy)+parity;
-  * pack_resident_chain / apply_serving_resident — precomputed weight pack
-    and the stem->head forward.
+Kernels:
+  * block_proj_resident — stride-1 bottleneck block with 1x1 projection
+    identity (layer1.0), NHWC -> NHWC;
+  * block_ds_resident   — stride-2 downsample block on 4 NHWC parity
+    planes -> NHWC;
+  * stage_nhwc_resident — all identity blocks of a stage in ONE dispatch
+    (grid over blocks, carry in VMEM scratch, weights streamed), NHWC IO —
+    the NHWC twin of kernels/stage_resident.py.
 
-Numerics: the engine's standard int8 chain, f32 epilogues, float-domain
-residual adds — same as kernels/stage_resident.py / block_flat.py.
+Numerics: standard int8 chain, f32 epilogues, float-domain residual adds
+(same as stage_resident.py / block_flat.py).
 
 Reference parity anchors: python/custom_forward.py:15-75 (the reference's
 batch-1 custom-forward-vs-cuDNN probe, taken to whole-model scope),
@@ -43,36 +46,82 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lowbitdnn_project_tpu.kernels.stage_resident import (
-    ResidentMeta, from_resident, resident_live_mask, resident_meta,
-    to_resident,
+    ResidentMeta, resident_live_mask, resident_meta,
 )
 
 
 # --------------------------------------------------------------- glue (XLA)
 
-def parity_split(x: jax.Array) -> Tuple[jax.Array, ...]:
-    """NHWC -> 4 parity planes (py, px) in row-major parity order."""
-    return tuple(x[:, py::2, px::2, :] for py in (0, 1) for px in (0, 1))
+def fold_w(x: jax.Array) -> jax.Array:
+    """NHWC -> (N, H, W/2, 2C): adjacent W-pairs folded into channels.
+
+    ONE reshape (free glue, pallas_tax_r3) instead of four strided parity
+    slices (which cost ~30 us at 56x56x256).  Lanes [:C] hold W-parity 0,
+    lanes [C:] parity 1; H-parity needs no split at all — output rows are
+    picked by STATIC row indices at unpack time."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
+# ------------------------------------------------- in-kernel layout helpers
+
+def _pack_rows(dst, src_ref, meta: ResidentMeta):
+    """NHWC ref -> flat pitched scratch (guards/pads pre-zeroed)."""
+    dst[:] = jnp.zeros(dst.shape, dst.dtype)
+    for img in range(meta.n):
+        base = meta.g8 + img * meta.seg
+        for hh in range(meta.h):
+            r = base + hh * meta.pitch
+            dst[r:r + meta.w, :] = src_ref[img, hh]
+
+
+def _unpack_rows(dst_ref, src, meta: ResidentMeta, src_off: int = 0):
+    """flat pitched rows -> NHWC ref; src starts at flat row ``src_off``."""
+    for img in range(meta.n):
+        base = meta.g8 + img * meta.seg - src_off
+        for hh in range(meta.h):
+            r = base + hh * meta.pitch
+            dst_ref[img, hh] = src[r:r + meta.w, :]
+
+
+def _conv2_acc(y1, w2_ref, patches, offsets, g8, bm, cmid, single_dot):
+    """3x3 tap accumulation on a flat y1 scratch; taps are row offsets.
+
+    single_dot builds a (bm, 9*cmid) patch scratch (9 shifted copies) and
+    contracts K=9*cmid at once — at cmid=64 the per-tap K=64 GEMMs starve
+    the int8 MXU pipeline, the deep contraction does not."""
+    if single_dot:
+        for t, off in enumerate(offsets):
+            patches[:, t * cmid:(t + 1) * cmid] = \
+                y1[g8 + off:g8 + off + bm, :]
+        return jnp.dot(patches[:], w2_ref[:],
+                       preferred_element_type=jnp.int32)
+    acc2 = None
+    for t, off in enumerate(offsets):
+        d = jnp.dot(y1[g8 + off:g8 + off + bm, :],
+                    w2_ref[t * cmid:(t + 1) * cmid, :],
+                    preferred_element_type=jnp.int32)
+        acc2 = d if acc2 is None else acc2 + d
+    return acc2
 
 
 # ------------------------------------------------- proj block (stride 1)
 
-def _proj_kernel(xf_ref, w1_ref, w2_ref, w3_ref, wp_ref,
+def _proj_kernel(x_ref, w1_ref, w2_ref, w3_ref, wp_ref,
                  s1_ref, b1_ref, s2_ref, b2_ref, s3_ref, b3_ref,
-                 sp_ref, bp_ref, sc_ref, mask_ref, out_ref, y1_ref,
-                 *, offsets, g8, bm, cmid):
-    x = xf_ref[:]
+                 sp_ref, bp_ref, sc_ref, mask_ref, out_ref,
+                 xs, y1_ref, *rest,
+                 offsets, g8, bm, cmid, meta, single_dot):
+    patches = rest[0] if single_dot else None
+    _pack_rows(xs, x_ref, meta)
+    x = xs[:]
     acc1 = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.int32)
     h1 = jnp.maximum(acc1.astype(jnp.float32) * s1_ref[:] + b1_ref[:], 0.0)
     q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[0])), -127.0, 127.0)
     y1_ref[:] = jnp.where(mask_ref[:] != 0, q1, 0.0).astype(jnp.int8)
 
-    acc2 = None
-    for t, off in enumerate(offsets):
-        d = jnp.dot(y1_ref[g8 + off:g8 + off + bm, :],
-                    w2_ref[t * cmid:(t + 1) * cmid, :],
-                    preferred_element_type=jnp.int32)
-        acc2 = d if acc2 is None else acc2 + d
+    acc2 = _conv2_acc(y1_ref, w2_ref, patches, offsets, g8, bm, cmid,
+                      single_dot)
     h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:], 0.0)
     y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[1])), -127.0, 127.0
                   ).astype(jnp.int8)
@@ -83,15 +132,14 @@ def _proj_kernel(xf_ref, w1_ref, w2_ref, w3_ref, wp_ref,
                    preferred_element_type=jnp.int32)
     proj = accp.astype(jnp.float32) * sp_ref[:] + bp_ref[:]
     out = jnp.maximum(h3 + proj, 0.0)
-    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[2])), -127.0, 127.0)
-    out_ref[:] = jnp.zeros(out_ref.shape, jnp.int8)   # guard rows
-    out_ref[g8:g8 + bm, :] = jnp.where(
-        mask_ref[g8:g8 + bm, :] != 0, q, 0.0).astype(jnp.int8)
+    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[2])),
+                 -127.0, 127.0).astype(jnp.int8)
+    _unpack_rows(out_ref, q, meta, src_off=g8)
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
 def block_proj_resident(
-    xf: jax.Array,               # (U, Cin) int8 flat
+    x: jax.Array,                # (N, H, W, Cin) int8 NHWC
     w1: jax.Array,               # (Cin, Cmid)
     w2: jax.Array,               # (9*Cmid, Cmid)
     w3: jax.Array,               # (Cmid, Cout)
@@ -102,9 +150,10 @@ def block_proj_resident(
     meta: ResidentMeta,
     interpret: bool = False,
 ) -> jax.Array:
-    """Stride-1 bottleneck block with projection identity (layer1.0)."""
-    u, cin = xf.shape
+    """Stride-1 bottleneck block with projection identity, NHWC -> NHWC."""
+    n, h, w, cin = x.shape
     cmid, cout = w3.shape
+    single_dot = cmid <= 64
     offsets = tuple(dy * meta.pitch + dx
                     for dy in (-1, 0, 1) for dx in (-1, 0, 1))
     g8, bm = meta.g8, meta.u - 2 * meta.g8
@@ -112,104 +161,284 @@ def block_proj_resident(
     vm = pltpu.VMEM
     full = pl.BlockSpec(memory_space=vm)
     kernel = functools.partial(_proj_kernel, offsets=offsets, g8=g8, bm=bm,
-                               cmid=cmid)
+                               cmid=cmid, meta=meta, single_dot=single_dot)
+    scratch = [pltpu.VMEM((meta.u, cin), jnp.int8),
+               pltpu.VMEM((meta.u, cmid), jnp.int8)]
+    if single_dot:
+        scratch.append(pltpu.VMEM((bm, 9 * cmid), jnp.int8))
     return pl.pallas_call(
         kernel,
         in_specs=[full] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM), full],
         out_specs=full,
-        out_shape=jax.ShapeDtypeStruct((u, cout), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((u, cmid), jnp.int8)],
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.int8),
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(xf, w1, w2, w3, wp, s1, b1, s2, b2, s3, b3, sp, bp,
+    )(x, w1, w2, w3, wp, s1, b1, s2, b2, s3, b3, sp, bp,
       jnp.asarray(chain_scales, jnp.float32).reshape(3), mask)
 
 
 # --------------------------------------------- downsample block (stride 2)
 
-def _ds_kernel(x00_ref, x01_ref, x10_ref, x11_ref,
-               w1_ref, w2_ref, w3_ref, wp_ref,
+def _ds_kernel(xf_ref, w1_ref, w2a_ref, w2b_ref, w3_ref, wp_ref,
                s1_ref, b1_ref, s2_ref, b2_ref, s3_ref, b3_ref,
                sp_ref, bp_ref, sc_ref, mask_ref, out_ref,
-               h00, h01, h10, h11,
-               *, tap_plan, g8, bm, cmid):
-    planes_in = (x00_ref, x01_ref, x10_ref, x11_ref)
-    planes_h1 = (h00, h01, h10, h11)
+               xs, h1f,
+               g8, bm, cin, cmid, meta, out_meta):
+    # pack the folded (N, H, W/2, 2C) input into flat pitched rows
+    _pack_rows(xs, xf_ref, meta)
     live = mask_ref[:] != 0
-    # conv1 (1x1, stride 1 at full res == independent per parity plane)
-    for xr, hr in zip(planes_in, planes_h1):
-        acc1 = jnp.dot(xr[:], w1_ref[:], preferred_element_type=jnp.int32)
+
+    # conv1 (1x1) per W-parity half into the two lane halves of h1f
+    for half in (0, 1):
+        acc1 = jnp.dot(xs[:, half * cin:(half + 1) * cin], w1_ref[:],
+                       preferred_element_type=jnp.int32)
         h1 = jnp.maximum(acc1.astype(jnp.float32) * s1_ref[:] + b1_ref[:],
                          0.0)
         q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[0])), -127.0, 127.0)
-        hr[:] = jnp.where(live, q1, 0.0).astype(jnp.int8)
+        h1f[:, half * cmid:(half + 1) * cmid] = jnp.where(
+            live, q1, 0.0).astype(jnp.int8)
 
-    # conv2 (3x3 stride 2): tap (dy, dx) -> plane (dy&1, dx&1), offset
-    # (oy, ox) in {-1, 0} rows of that plane's flat layout
+    # conv2 (3x3 s2) on the folded layout: tap (dy, dx) ->
+    #   dx=0  -> lanes [:cmid]   of folded col j    (row offset dy*pitch)
+    #   dx=+1 -> lanes [cmid:]   of folded col j    (same row offset)
+    #   dx=-1 -> lanes [cmid:]   of folded col j-1  (row offset dy*pitch-1)
+    # computed at ALL folded rows (odd output rows are discarded at unpack;
+    # 2x H compute waste is microseconds at batch-1 sizes)
     acc2 = None
-    for t, (plane, off) in enumerate(tap_plan):
-        d = jnp.dot(planes_h1[plane][g8 + off:g8 + off + bm, :],
-                    w2_ref[t * cmid:(t + 1) * cmid, :],
-                    preferred_element_type=jnp.int32)
+    for t, dy in enumerate((-1, 0, 1)):
+        off = dy * meta.pitch
+        da = jnp.dot(h1f[g8 + off:g8 + off + bm, :],
+                     w2a_ref[t * 2 * cmid:(t + 1) * 2 * cmid, :],
+                     preferred_element_type=jnp.int32)
+        db = jnp.dot(h1f[g8 + off - 1:g8 + off - 1 + bm, cmid:],
+                     w2b_ref[t * cmid:(t + 1) * cmid, :],
+                     preferred_element_type=jnp.int32)
+        d = da + db
         acc2 = d if acc2 is None else acc2 + d
     h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:], 0.0)
     y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[1])), -127.0, 127.0
                   ).astype(jnp.int8)
 
-    # conv3 + 1x1-stride-2 projection (= 1x1 on plane00) + relu + requant
+    # conv3 + projection (1x1 s2 == lanes [:cin] of the folded input)
     acc3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.int32)
     h3 = acc3.astype(jnp.float32) * s3_ref[:] + b3_ref[:]
-    accp = jnp.dot(x00_ref[g8:g8 + bm, :], wp_ref[:],
+    accp = jnp.dot(xs[g8:g8 + bm, :cin], wp_ref[:],
                    preferred_element_type=jnp.int32)
     proj = accp.astype(jnp.float32) * sp_ref[:] + bp_ref[:]
     out = jnp.maximum(h3 + proj, 0.0)
-    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[2])), -127.0, 127.0)
-    out_ref[:] = jnp.zeros(out_ref.shape, jnp.int8)   # guard rows
-    out_ref[g8:g8 + bm, :] = jnp.where(
-        mask_ref[g8:g8 + bm, :] != 0, q, 0.0).astype(jnp.int8)
+    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[2])),
+                 -127.0, 127.0).astype(jnp.int8)
+    # unpack: output row hh <- folded row 2*hh (static picks drop odd rows)
+    for img in range(out_meta.n):
+        for hh in range(out_meta.h):
+            r = meta.g8 + img * meta.seg + (2 * hh) * meta.pitch - g8
+            out_ref[img, hh] = q[r:r + out_meta.w, :]
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+@functools.partial(jax.jit, static_argnames=("meta", "out_meta", "interpret"))
 def block_ds_resident(
-    planes: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],
+    xf: jax.Array,               # (N, H, W/2, 2*Cin) int8, fold_w output
     w1: jax.Array,               # (Cin, Cmid)
-    w2: jax.Array,               # (9*Cmid, Cmid), taps row-major (dy, dx)
+    w2a: jax.Array,              # (3*2*Cmid, Cmid): per dy, vstack(dx=0, dx=+1)
+    w2b: jax.Array,              # (3*Cmid, Cmid):   per dy, dx=-1
     w3: jax.Array,               # (Cmid, Cout)
     wp: jax.Array,               # (Cin, Cout) 1x1 s2 projection
     s1, b1, s2, b2, s3, b3, sp, bp,
     chain_scales: jax.Array,     # (3,) [y1s, y2s, out_s]
     *,
-    meta: ResidentMeta,          # HALF-resolution geometry (h/2, w/2)
+    meta: ResidentMeta,          # FOLDED geometry: (n, h, w//2)
+    out_meta: ResidentMeta,      # output geometry: (n, h//2, w//2)
     interpret: bool = False,
 ) -> jax.Array:
-    """Stride-2 downsample bottleneck block on parity-plane inputs.
+    """Stride-2 downsample bottleneck block on the folded-W layout.
 
-    ``planes`` are the four (U_half, Cin) flat parity planes of the block
-    input, order (py, px) = 00, 01, 10, 11 (from parity_split + to_resident
-    glue).  Output is the (U_half, Cout) flat block output.
-    """
-    u, cin = planes[0].shape
+    The only glue upstream is fold_w's single reshape; stride never appears
+    in-kernel (static row offsets + 128-aligned lane slices)."""
+    n, h, w2v, cin2 = xf.shape
+    cin = cin2 // 2
     cmid, cout = w3.shape
-    # tap (dy, dx), dy/dx in (-1, 0, 1): plane index (dy&1)*2 + (dx&1),
-    # offset row (dy == -1 ? -1 : 0) * pitch + (dx == -1 ? -1 : 0)
-    tap_plan = tuple(
-        ((dy & 1) * 2 + (dx & 1),
-         (-1 if dy == -1 else 0) * meta.pitch + (-1 if dx == -1 else 0))
-        for dy in (-1, 0, 1) for dx in (-1, 0, 1))
     g8, bm = meta.g8, meta.u - 2 * meta.g8
     mask = jnp.asarray(resident_live_mask(meta))
     vm = pltpu.VMEM
     full = pl.BlockSpec(memory_space=vm)
-    kernel = functools.partial(_ds_kernel, tap_plan=tap_plan, g8=g8, bm=bm,
-                               cmid=cmid)
+    kernel = functools.partial(_ds_kernel, g8=g8, bm=bm, cin=cin,
+                               cmid=cmid, meta=meta, out_meta=out_meta)
+    scratch = [pltpu.VMEM((meta.u, 2 * cin), jnp.int8),
+               pltpu.VMEM((meta.u, 2 * cmid), jnp.int8)]
     return pl.pallas_call(
         kernel,
-        in_specs=[full] * 16 + [pl.BlockSpec(memory_space=pltpu.SMEM), full],
+        in_specs=[full] * 14 + [pl.BlockSpec(memory_space=pltpu.SMEM), full],
         out_specs=full,
-        out_shape=jax.ShapeDtypeStruct((u, cout), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((u, cmid), jnp.int8) for _ in range(4)],
+        out_shape=jax.ShapeDtypeStruct(
+            (out_meta.n, out_meta.h, out_meta.w, cout), jnp.int8),
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(*planes, w1, w2, w3, wp, s1, b1, s2, b2, s3, b3, sp, bp,
+    )(xf, w1, w2a, w2b, w3, wp, s1, b1, s2, b2, s3, b3, sp, bp,
       jnp.asarray(chain_scales, jnp.float32).reshape(3), mask)
+
+
+# ------------------------------------- identity stage, NHWC IO (grid=blocks)
+
+def _stage_kernel(x_ref, w1_ref, w2_ref, w3_ref,
+                  s1_ref, b1_ref, s2_ref, b2_ref, s3_ref, b3_ref,
+                  sc_ref, mask_ref, out_ref, carry, y1_ref, *rest,
+                  offsets, g8, bm, cmid, nblk, meta, single_dot):
+    patches = rest[0] if single_dot else None
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _seed():
+        _pack_rows(carry, x_ref, meta)
+
+    x = carry[:]
+    acc1 = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.int32)
+    h1 = jnp.maximum(acc1.astype(jnp.float32) * s1_ref[0] + b1_ref[0], 0.0)
+    q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[i, 0])), -127.0, 127.0)
+    y1_ref[:] = jnp.where(mask_ref[:] != 0, q1, 0.0).astype(jnp.int8)
+
+    acc2 = _conv2_acc(y1_ref, w2_ref, patches, offsets, g8, bm, cmid,
+                      single_dot)
+    h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[0] + b2_ref[0], 0.0)
+    y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[i, 1])), -127.0, 127.0
+                  ).astype(jnp.int8)
+
+    acc3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.int32)
+    h3 = acc3.astype(jnp.float32) * s3_ref[0] + b3_ref[0]
+    identity = x[g8:g8 + bm, :].astype(jnp.float32) * sc_ref[i, 2]
+    out = jnp.maximum(h3 + identity, 0.0)
+    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[i, 3])), -127.0, 127.0)
+    carry[g8:g8 + bm, :] = jnp.where(
+        mask_ref[g8:g8 + bm, :] != 0, q, 0.0).astype(jnp.int8)
+
+    @pl.when(i == nblk - 1)
+    def _emit():
+        _unpack_rows(out_ref, carry[:], meta)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "nblk", "interpret"))
+def stage_nhwc_resident(
+    x: jax.Array,           # (N, H, W, C) int8 NHWC
+    w1: jax.Array,          # (nblk*C, Cmid) stacked
+    w2: jax.Array,          # (nblk*9*Cmid, Cmid)
+    w3: jax.Array,          # (nblk*Cmid, C)
+    s1, b1, s2, b2,         # (nblk, Cmid)
+    s3, b3,                 # (nblk, C)
+    chain_scales: jax.Array,    # (nblk, 4) [y1s, y2s, x_s, out_s]
+    *,
+    meta: ResidentMeta,
+    nblk: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """All identity blocks of a stage in ONE dispatch, NHWC in/out.
+
+    NHWC twin of kernels/stage_resident.py:stage_resident_int8 — the flat
+    pitched carry lives in VMEM scratch, packed/unpacked with static row
+    copies at the grid's first/last step; each step streams one block's
+    weights."""
+    n, h, w, c = x.shape
+    cmid = w1.shape[1]
+    single_dot = cmid <= 64
+    offsets = tuple(dy * meta.pitch + dx
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    g8, bm = meta.g8, meta.u - 2 * meta.g8
+    mask = jnp.asarray(resident_live_mask(meta))
+    vm = pltpu.VMEM
+    kernel = functools.partial(_stage_kernel, offsets=offsets, g8=g8, bm=bm,
+                               cmid=cmid, nblk=nblk, meta=meta,
+                               single_dot=single_dot)
+    scratch = [pltpu.VMEM((meta.u, c), jnp.int8),
+               pltpu.VMEM((meta.u, cmid), jnp.int8)]
+    if single_dot:
+        scratch.append(pltpu.VMEM((bm, 9 * cmid), jnp.int8))
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((n, h, w, c), lambda i: (0, 0, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((c, cmid), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((9 * cmid, cmid), lambda i: (i, 0),
+                         memory_space=vm),
+            pl.BlockSpec((cmid, c), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((1, 1, cmid), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, cmid), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, cmid), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, cmid), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((meta.u, 1), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((n, h, w, c), lambda i: (0, 0, 0, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x, w1, w2, w3,
+      s1.astype(jnp.float32)[:, None], b1.astype(jnp.float32)[:, None],
+      s2.astype(jnp.float32)[:, None], b2.astype(jnp.float32)[:, None],
+      s3.astype(jnp.float32)[:, None], b3.astype(jnp.float32)[:, None],
+      jnp.asarray(chain_scales, jnp.float32), mask)
+
+
+
+# ------------------------------------------------ folded-W weight transforms
+
+def _blockdiag(w: jax.Array) -> jax.Array:
+    """(K, N) -> (2K, 2N) block-diagonal [[w, 0], [0, w]]."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate([jnp.concatenate([w, z], 1),
+                            jnp.concatenate([z, w], 1)], 0)
+
+
+def fold_block_weights(w1, w2v, w3, wp=None):
+    """Transform one bottleneck block's weights for the folded-W layout.
+
+    In folded coordinates ((N, H, W/2, 2C): W-pairs in channel halves) a
+    stride-1 3x3 conv is AGAIN a 3x3 tap accumulation — tap (dy, q) with
+    q in {-1, 0, +1} folded-column offsets — with (2Cmid, 2Cmid) weights
+    whose lane blocks route the odd/even output positions:
+      q=-1: rows[c:], cols[:c] = w2[dy, -1]
+      q= 0: rows[:c]cols[:c]=w2[dy,0]; rows[c:]cols[:c]=w2[dy,+1];
+            rows[:c]cols[c:]=w2[dy,-1]; rows[c:]cols[c:]=w2[dy,0]
+      q=+1: rows[:c], cols[c:] = w2[dy, +1]
+    1x1 convs become block-diagonal.  This doubles every lane dimension —
+    layer1's cmid=64 (half-empty MXU lanes, the measured 26%-of-peak
+    starvation class) runs at full 128 lanes, for 2x MAC padding that is
+    microseconds at batch 1.
+    """
+    c = w2v.shape[2]
+    z = jnp.zeros((c, c), w2v.dtype)
+
+    def qmat(dy, q):
+        if q == -1:
+            return jnp.concatenate([jnp.concatenate([z, z], 1),
+                                    jnp.concatenate([w2v[dy, 0], z], 1)], 0)
+        if q == 0:
+            return jnp.concatenate(
+                [jnp.concatenate([w2v[dy, 1], w2v[dy, 0]], 1),
+                 jnp.concatenate([w2v[dy, 2], w2v[dy, 1]], 1)], 0)
+        return jnp.concatenate([jnp.concatenate([z, w2v[dy, 2]], 1),
+                                jnp.concatenate([z, z], 1)], 0)
+
+    w2f = jnp.concatenate([qmat(dy, q) for dy in range(3)
+                           for q in (-1, 0, 1)])
+    out = dict(w1=_blockdiag(w1), w2=w2f, w3=_blockdiag(w3))
+    if wp is not None:
+        out["wp"] = _blockdiag(wp)
+    return out
+
+
+def _tile2(row):
+    """(1, C) or (nblk, C) epilogue row -> lanes duplicated for folding."""
+    return jnp.concatenate([row, row], axis=-1)
 
 
 # ------------------------------------------------------------ orchestration
@@ -223,9 +452,10 @@ def pack_resident_chain(qparams: Dict[str, Any],
                         act_scales: Dict[str, jax.Array], cfg) -> Dict:
     """Precompute every block's kernel arguments (call once at prepare time).
 
-    Returns {"blocks": [per-block dicts in chain order], "stem": ...} —
-    identity blocks also get the stage-kernel pack via
-    stage_resident.pack_stage_resident-compatible fields.
+    The returned pack mixes device arrays with static python ints (stride,
+    channel dims, nblk) — when jitting a caller, pass the arrays as jit
+    args and keep the statics out of the traced pytree (see
+    bench/probes/resident_chain_ab.py split_pack/merge_pack).
     """
     from lowbitdnn_project_tpu.kernels.stage_resident import (
         pack_stage_resident)
@@ -242,6 +472,28 @@ def pack_resident_chain(qparams: Dict[str, Any],
 
     pack = {"entry": [], "stages": pack_stage_resident(
         qparams, s, cfg, stages=(0, 1, 2, 3), cmid_multiple=64)}
+    if 0 in pack["stages"]:
+        # layer1 runs in the folded-W layout (see fold_block_weights):
+        # refold the stacked stage pack blockwise
+        sp0 = pack["stages"][0]
+        nblk = sp0["nblk"]
+        cmid = sp0["w1"].shape[1]
+        c = sp0["w3"].shape[1]
+        w1s, w2s, w3s = [], [], []
+        for b in range(nblk):
+            f = fold_block_weights(
+                sp0["w1"][b * c:(b + 1) * c],
+                sp0["w2"][b * 9 * cmid:(b + 1) * 9 * cmid].reshape(
+                    3, 3, cmid, cmid),
+                sp0["w3"][b * cmid:(b + 1) * cmid])
+            w1s.append(f["w1"]); w2s.append(f["w2"]); w3s.append(f["w3"])
+        pack["stages"][0] = dict(
+            sp0, folded=True,
+            w1=jnp.concatenate(w1s), w2=jnp.concatenate(w2s),
+            w3=jnp.concatenate(w3s),
+            s1=_tile2(sp0["s1"]), b1=_tile2(sp0["b1"]),
+            s2=_tile2(sp0["s2"]), b2=_tile2(sp0["b2"]),
+            s3=_tile2(sp0["s3"]), b3=_tile2(sp0["b3"]))
     for st in range(4):
         blk = qparams[f"layer{st + 1}"][0]
         pre = f"layer{st + 1}.0"
@@ -253,11 +505,8 @@ def pack_resident_chain(qparams: Dict[str, Any],
         wpq = blk["downsample"].weight
         cin, cmid = w1q.shape[2:4]
         cout = w3q.shape[3]
-        pack["entry"].append(dict(
-            stride=2 if st > 0 else 1, cin=cin, cmid=cmid, cout=cout,
-            w1=w1q.values[0, 0],
-            w2=w2q.values.reshape(9 * cmid, cmid),
-            w3=w3q.values[0, 0], wp=wpq.values[0, 0],
+        w2v = w2q.values                       # (3, 3, cmid, cmid), [dy, dx]
+        rows = dict(
             s1=_row(x_s * w1q.scale_vector(), cmid),
             b1=_row(blk["conv1"].bias, cmid),
             s2=_row(y1_s * w2q.scale_vector(), cmid),
@@ -265,7 +514,25 @@ def pack_resident_chain(qparams: Dict[str, Any],
             s3=_row(y2_s * w3q.scale_vector(), cout),
             b3=_row(blk["conv3"].bias, cout),
             sp=_row(x_s * wpq.scale_vector(), cout),
-            bp=_row(blk["downsample"].bias, cout),
+            bp=_row(blk["downsample"].bias, cout))
+        if st > 0:
+            # folded-W stride-2 tap layout: per dy, vstack(dx=0, dx=+1)
+            # feeds lanes [:cmid]/[cmid:] of folded h1; dx=-1 separate
+            wts = dict(
+                w1=w1q.values[0, 0],
+                w2a=jnp.concatenate([
+                    jnp.concatenate([w2v[dy, 1], w2v[dy, 2]])
+                    for dy in range(3)]),
+                w2b=jnp.concatenate([w2v[dy, 0] for dy in range(3)]),
+                w3=w3q.values[0, 0], wp=wpq.values[0, 0])
+        else:
+            # layer1.0 projection block runs folded end to end
+            wts = fold_block_weights(w1q.values[0, 0], w2v,
+                                     w3q.values[0, 0], wpq.values[0, 0])
+            rows = {k: _tile2(v) for k, v in rows.items()}
+        pack["entry"].append(dict(
+            stride=2 if st > 0 else 1, cin=cin, cmid=cmid, cout=cout,
+            **wts, **rows,
             chain=jnp.stack([jnp.asarray(v, jnp.float32)
                              for v in (y1_s, y2_s, o_s)]),
         ))
@@ -276,14 +543,8 @@ def apply_serving_resident(qparams: Dict[str, Any], x, act_scales,
                            cfg, pack: Optional[Dict] = None, *,
                            interpret: bool = False) -> jax.Array:
     """Batch-1-class serving forward: stem -> layer4 as one contiguous
-    pallas region (per-block kernels + free glue), head in XLA.
-
-    ``pack`` from pack_resident_chain (pass it jitted-arg-style for zero
-    per-call packing cost). Requires the bottleneck config with every
-    stage's block 0 carrying a projection (ResNet-50/101 shape).
-    """
-    from lowbitdnn_project_tpu.kernels.stage_resident import (
-        run_stage_resident, stage_resident_int8)
+    pallas region (per-block NHWC kernels, parity-slice glue only), head
+    in XLA."""
     from lowbitdnn_project_tpu.kernels.stem_fused import stem_conv_pool_fused
     from lowbitdnn_project_tpu.quant import quantize
     from lowbitdnn_project_tpu.quant.qtensor import QTensor
@@ -299,31 +560,40 @@ def apply_serving_resident(qparams: Dict[str, Any], x, act_scales,
                                s["layer1.0.conv1"], relu=True, version=3,
                                interpret=interpret)
 
-    vals = x_q.values
+    vals = fold_w(x_q.values)     # layer1 runs in the folded-W layout
+    folded = True
+    out_scale = None
     for st in range(4):
         e = pack["entry"][st]
-        n, h, w, _ = vals.shape
         ch3 = e["chain"]
-        args = (e["w1"], e["w2"], e["w3"], e["wp"], e["s1"], e["b1"],
-                e["s2"], e["b2"], e["s3"], e["b3"], e["sp"], e["bp"], ch3)
+        tail = (e["s1"], e["b1"], e["s2"], e["b2"], e["s3"], e["b3"],
+                e["sp"], e["bp"], ch3)
         if e["stride"] == 1:
-            m = resident_meta(n, h, w)
-            vals = from_resident(
-                block_proj_resident(to_resident(vals, m), *args, meta=m,
-                                    interpret=interpret), m)
+            n, h, wv, _ = vals.shape   # already folded (n, h, w/2, 2c)
+            m = resident_meta(n, h, wv)
+            vals = block_proj_resident(
+                vals, e["w1"], e["w2"], e["w3"], e["wp"], *tail, meta=m,
+                interpret=interpret)
         else:
-            mh = resident_meta(n, h // 2, w // 2)
-            planes = tuple(to_resident(p, mh) for p in parity_split(vals))
-            vals = from_resident(
-                block_ds_resident(planes, *args, meta=mh,
-                                  interpret=interpret), mh)
-        # identity-block run of this stage in one dispatch
+            if not folded:
+                vals = fold_w(vals)
+            n, h, wv, _ = vals.shape   # folded (n, h, w/2, 2c)
+            mf = resident_meta(n, h, wv)
+            mo = resident_meta(n, h // 2, wv)
+            vals = block_ds_resident(
+                vals, e["w1"], e["w2a"], e["w2b"], e["w3"],
+                e["wp"], *tail, meta=mf, out_meta=mo, interpret=interpret)
+            folded = False
         sp_ = pack["stages"].get(st)
         if sp_ is not None and sp_["nblk"] > 0:
-            q = run_stage_resident(
-                QTensor(values=vals, scale=ch3[2]), sp_,
-                interpret=interpret)
-            vals, out_scale = q.values, q.scale
+            n2, h2v, w2v_, _ = vals.shape
+            m2 = resident_meta(n2, h2v, w2v_)
+            vals = stage_nhwc_resident(
+                vals, sp_["w1"], sp_["w2"], sp_["w3"],
+                sp_["s1"], sp_["b1"], sp_["s2"], sp_["b2"],
+                sp_["s3"], sp_["b3"], sp_["chain"],
+                meta=m2, nblk=sp_["nblk"], interpret=interpret)
+            out_scale = sp_["chain"][-1, 3]
         else:
             out_scale = ch3[2]
 

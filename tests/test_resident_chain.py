@@ -1,0 +1,115 @@
+"""Contiguous resident serving chain (kernels/resident_chain.py):
+folded-W glue algebra + block kernels + the full stem->head forward,
+all vs the per-conv chain oracle on CPU interpret mode."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lowbitdnn_project_tpu.kernels.resident_chain import (
+    apply_serving_resident, block_ds_resident, fold_block_weights, fold_w,
+    pack_resident_chain,
+)
+from lowbitdnn_project_tpu.kernels.stage_resident import resident_meta
+from lowbitdnn_project_tpu.models import resnet
+from lowbitdnn_project_tpu.ops.conv import conv2d_int32
+
+
+def _rand_int8(key, shape, lo=-5, hi=5):
+    return jax.random.randint(key, shape, lo, hi + 1, jnp.int8)
+
+
+def test_fold_w_roundtrip(rng):
+    x = jnp.asarray(rng.integers(-127, 128, (2, 8, 8, 32)).astype(np.int8))
+    f = fold_w(x)
+    assert f.shape == (2, 8, 4, 64)
+    # lane halves are the W-parities
+    np.testing.assert_array_equal(np.asarray(f[..., :32]),
+                                  np.asarray(x[:, :, 0::2, :]))
+    np.testing.assert_array_equal(np.asarray(f[..., 32:]),
+                                  np.asarray(x[:, :, 1::2, :]))
+
+
+def test_folded_weights_preserve_conv(rng):
+    """A stride-1 3x3 in folded coordinates with fold_block_weights' w2
+    equals the unfolded conv (the algebra the layer1 kernels rely on)."""
+    k1, k2 = jax.random.split(jax.random.key(7))
+    c = 16
+    x = _rand_int8(k1, (1, 6, 6, c))
+    w2 = _rand_int8(k2, (3, 3, c, c))
+    f = fold_block_weights(jnp.eye(c, dtype=jnp.int8), w2,
+                           jnp.eye(c, dtype=jnp.int8))
+    w2f = f["w2"].reshape(3, 3, 2 * c, 2 * c)   # (dy, q) taps
+    xf = fold_w(x)                              # (1, 6, 3, 2c)
+    ref = conv2d_int32(x, w2, (1, 1), (1, 1))
+    got = conv2d_int32(xf, jnp.transpose(w2f, (0, 1, 2, 3)).reshape(
+        3, 3, 2 * c, 2 * c), (1, 1), (1, 1))
+    # folded output lanes [:c] are even W positions, [c:] odd
+    np.testing.assert_array_equal(np.asarray(got[..., :c]),
+                                  np.asarray(ref[:, :, 0::2, :]))
+    np.testing.assert_array_equal(np.asarray(got[..., c:]),
+                                  np.asarray(ref[:, :, 1::2, :]))
+
+
+def test_ds_block_matches_chain(rng):
+    """Stride-2 downsample block kernel vs the op-by-op oracle."""
+    h, cin, cmid, cout = 8, 128, 128, 256
+    keys = jax.random.split(jax.random.key(3), 8)
+    x = _rand_int8(keys[0], (1, h, h, cin))
+    w1 = _rand_int8(keys[1], (1, 1, cin, cmid))
+    w2 = _rand_int8(keys[2], (3, 3, cmid, cmid))
+    w3 = _rand_int8(keys[3], (1, 1, cmid, cout))
+    wp = _rand_int8(keys[4], (1, 1, cin, cout))
+    s1 = jnp.full((cmid,), 0.013037, jnp.float32)
+    s3 = jnp.full((cout,), 0.011071, jnp.float32)
+    sy1, sy2, so = 0.090137, 0.120219, 0.070111
+
+    def requant(v, s):
+        return jnp.clip(jnp.round(v * (1.0 / s)), -127, 127).astype(jnp.int8)
+
+    a1 = conv2d_int32(x, w1).astype(jnp.float32)
+    y1 = requant(jnp.maximum(a1 * s1, 0.0), sy1)
+    a2 = conv2d_int32(y1, w2, (2, 2), (1, 1)).astype(jnp.float32)
+    y2 = requant(jnp.maximum(a2 * s1, 0.0), sy2)
+    a3 = conv2d_int32(y2, w3).astype(jnp.float32)
+    pj = conv2d_int32(x, wp, (2, 2)).astype(jnp.float32)
+    ref = requant(jnp.maximum(a3 * s3 + pj * s3, 0.0), so)
+
+    w2v = w2
+    w2a = jnp.concatenate([jnp.concatenate([w2v[dy, 1], w2v[dy, 2]])
+                           for dy in range(3)])
+    w2b = jnp.concatenate([w2v[dy, 0] for dy in range(3)])
+    mf = resident_meta(1, h, h // 2)
+    mo = resident_meta(1, h // 2, h // 2)
+    row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    got = block_ds_resident(
+        fold_w(x), w1[0, 0], w2a, w2b, w3[0, 0], wp[0, 0],
+        row(s1), row(jnp.zeros(cmid)), row(s1), row(jnp.zeros(cmid)),
+        row(s3), row(jnp.zeros(cout)), row(s3), row(jnp.zeros(cout)),
+        jnp.asarray([sy1, sy2, so], jnp.float32),
+        meta=mf, out_meta=mo, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_apply_serving_resident_matches_chain(rng):
+    """Full stem->head resident forward vs the classic int8 chain on the
+    real ResNet-50 geometry (needs the committed calibration scales)."""
+    cfg = resnet.RESNET50
+    params = resnet.init_params(jax.random.key(0), cfg)
+    qp8 = resnet.quantize_params(params, cfg)
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_cache.json")
+    with open(path) as f:
+        scales = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in json.load(f)["act_scales"].items()}
+    pack = pack_resident_chain(qp8, scales, cfg)
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+    ref = resnet.apply_quantized_int8chain(qp8, x, scales, cfg,
+                                           backend="xla",
+                                           stem_backend="classic")
+    got = apply_serving_resident(qp8, x, scales, cfg, pack, interpret=True)
+    assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.1, rel
