@@ -190,6 +190,24 @@ def main():
     print(f"serving loop: 16 requests in {1000 * (t1 - t0):.1f} ms "
           f"(micro-batch 8), top-1 agrees with the direct forward")
 
+    # --- batch-1 low-latency lane: the contiguous resident pallas chain
+    # (kernels/resident_chain.py) — 103.5 us vs 117.3 classic at b1
+    # (resident_chain_ab_r3.json). A latency-tier server compiles this as
+    # its single-request executable beside the batched one; the pack's
+    # static ints stay out of the traced pytree (split_pack/merge_pack).
+    from lowbitdnn_project_tpu.kernels.resident_chain import (
+        apply_serving_resident, merge_pack, pack_resident_chain, split_pack)
+
+    arrs, statics = split_pack(pack_resident_chain(qparams, scales, cfg))
+    infer_b1 = jax.jit(lambda p, x, a: apply_serving_resident(
+        p, x, scales, cfg, merge_pack(a, statics)))
+    x1 = QTensor(values=jnp.asarray(x_int8[:1]), scale=jnp.float32(in_scale))
+    logits_b1 = infer_b1(qparams, x1, arrs)
+    assert int(np.argmax(np.asarray(logits_b1))) == int(top1[0]), \
+        "resident b1 lane disagrees with the batched chain"
+    print("b1 low-latency lane (resident pallas chain): top-1 agrees "
+          "with the batched chain")
+
 
 if __name__ == "__main__":
     main()

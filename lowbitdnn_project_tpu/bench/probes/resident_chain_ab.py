@@ -26,36 +26,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lowbitdnn_project_tpu.models import resnet                      # noqa: E402
 from lowbitdnn_project_tpu.kernels.resident_chain import (           # noqa: E402
-    apply_serving_resident, pack_resident_chain)
+    apply_serving_resident, merge_pack, pack_resident_chain, split_pack)
 from lowbitdnn_project_tpu.utils.timing import (                     # noqa: E402
     chain_via_scalar, chained_device_time)
 
 CFG = resnet.RESNET50
-
-ENTRY_STATIC = ("stride", "cin", "cmid", "cout")
-STAGE_STATIC = ("nblk", "first")
-
-
-def split_pack(pack):
-    """(arrays-only pytree, statics) — statics must not be traced."""
-    arrs = {"entry": [{k: v for k, v in e.items() if k not in ENTRY_STATIC}
-                      for e in pack["entry"]],
-            "stages": {st: {k: v for k, v in p.items()
-                            if k not in STAGE_STATIC}
-                       for st, p in pack["stages"].items()}}
-    statics = {"entry": [{k: e[k] for k in ENTRY_STATIC}
-                         for e in pack["entry"]],
-               "stages": {st: {k: p[k] for k in STAGE_STATIC}
-                          for st, p in pack["stages"].items()}}
-    return arrs, statics
-
-
-def merge_pack(arrs, statics):
-    return {"entry": [dict(a, **s) for a, s in
-                      zip(arrs["entry"], statics["entry"])],
-            "stages": {st: dict(arrs["stages"][st], **statics["stages"][st])
-                       for st in arrs["stages"]}}
-
 
 def main(batch=1):
     t0 = time.perf_counter()

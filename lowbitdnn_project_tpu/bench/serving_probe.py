@@ -32,6 +32,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lowbitdnn_project_tpu.models import resnet                      # noqa: E402
 from lowbitdnn_project_tpu.models.layers import prepack_w4a8_1x1     # noqa: E402
+from lowbitdnn_project_tpu.kernels.resident_chain import (           # noqa: E402
+    apply_serving_resident, merge_pack, pack_resident_chain, split_pack)
 from lowbitdnn_project_tpu.utils.timing import (                     # noqa: E402
     chain_via_scalar, chained_device_time)
 
@@ -65,32 +67,51 @@ def main():
                       for k, v in json.load(f)["act_scales"].items()}
     mark("scales loaded")
 
+    arrs, statics = split_pack(pack_resident_chain(qp8, act_scales, CFG))
+    mark("resident pack built")
+
     rows = []
     for b in (1, 4, 8):
         x = jnp.ones((b, 224, 224, 3), jnp.float32) * 0.5
         res = {"batch": b}
-        variants = (("int8", qp8, False), ("w4a8", qp4, False),
-                    ("w4a8_routed", qp4, True))
+        variants = [("int8", qp8, False), ("w4a8", qp4, False),
+                    ("w4a8_routed", qp4, True)]
+        if b == 1:
+            # the contiguous resident pallas chain (resident_chain_ab_r3):
+            # batch-1 only — its whole-map VMEM residency does not hold at
+            # larger batches (layer1 acc buffers exceed VMEM at b>=4)
+            variants.append(("resident", qp8, None))
         best = {}
         # two interleaved passes: the relay clock drifts over a run, so
         # back-to-back per-variant timing mis-ranks identical graphs by
         # >10%; alternating and taking the per-variant min cancels drift
         for _pass in range(2):
             for name, qp, routed in variants:
-                def step(c, qp, scales, routed=routed):
-                    logits = resnet.apply_quantized_int8chain(
-                        qp, c, scales, CFG, backend="xla",
-                        use_w4a8_1x1=routed)
-                    return chain_via_scalar(c, logits)
+                if routed is None:
+                    def step(c, qp, scales, a):
+                        logits = apply_serving_resident(
+                            qp, c, scales, CFG, merge_pack(a, statics))
+                        return chain_via_scalar(c, logits)
+                    args = (qp, act_scales, arrs)
+                else:
+                    def step(c, qp, scales, routed=routed):
+                        logits = resnet.apply_quantized_int8chain(
+                            qp, c, scales, CFG, backend="xla",
+                            use_w4a8_1x1=routed)
+                        return chain_via_scalar(c, logits)
+                    args = (qp, act_scales)
 
                 t = chained_device_time(step, x, lo=20, hi=220, reps=3,
-                                        args=(qp, act_scales))
+                                        args=args)
                 best[name] = min(best.get(name, t), t)
                 mark(f"b{b} {name} pass{_pass}: {t * 1e6:.1f}us")
         for name, _, _ in variants:
             res[f"{name}_us"] = round(best[name] * 1e6, 1)
             res[f"{name}_img_s"] = round(b / best[name], 0)
         res["w4a8_vs_int8"] = round(res["int8_us"] / res["w4a8_us"], 3)
+        if "resident_us" in res:
+            res["resident_vs_int8"] = round(
+                res["int8_us"] / res["resident_us"], 3)
         rows.append(res)
         print(res, flush=True)
 

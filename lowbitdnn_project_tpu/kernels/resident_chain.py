@@ -601,3 +601,33 @@ def apply_serving_resident(qparams: Dict[str, Any], x, act_scales,
     x_fc = quantize(feat, scale=s["fc"])
     return qlinear(x_fc, qparams["fc"].weight, qparams["fc"].bias,
                    interpret=interpret)
+
+
+# ---------------------------------------------- jit-boundary pack splitting
+
+ENTRY_STATIC = ("stride", "cin", "cmid", "cout")
+STAGE_STATIC = ("nblk", "first", "folded")
+
+
+def split_pack(pack):
+    """(arrays-only pytree, statics) — the pack mixes device arrays with
+    static python ints; statics must not cross a jit boundary as traced
+    values (nblk is a static_argname downstream, stride drives python
+    control flow)."""
+    arrs = {"entry": [{k: v for k, v in e.items() if k not in ENTRY_STATIC}
+                      for e in pack["entry"]],
+            "stages": {st: {k: v for k, v in p.items()
+                            if k not in STAGE_STATIC}
+                       for st, p in pack["stages"].items()}}
+    statics = {"entry": [{k: e[k] for k in ENTRY_STATIC if k in e}
+                         for e in pack["entry"]],
+               "stages": {st: {k: p[k] for k in STAGE_STATIC if k in p}
+                          for st, p in pack["stages"].items()}}
+    return arrs, statics
+
+
+def merge_pack(arrs, statics):
+    return {"entry": [dict(a, **s) for a, s in
+                      zip(arrs["entry"], statics["entry"])],
+            "stages": {st: dict(arrs["stages"][st], **statics["stages"][st])
+                       for st in arrs["stages"]}}
