@@ -190,6 +190,59 @@ def quantize_params(params: Dict[str, Any], cfg: ResNetConfig = RESNET18,
     return qp
 
 
+def fold_layer1_params(qparams: Dict[str, Any],
+                       cfg: ResNetConfig = RESNET50) -> Dict[str, Any]:
+    """Prepack layer1 into the folded-W layout for fold_layer1 routing.
+
+    Applies kernels/resident_chain.py's fold_block_weights algebra to
+    layer1's quantized blocks (per-out-channel scales and biases duplicate
+    across the two W-parity halves) and returns qparams with a
+    "layer1_folded" key.  Pure weight transformation — call once at
+    prepare time, not inside the jitted forward.
+    """
+    from lowbitdnn_project_tpu.kernels.resident_chain import (
+        _blockdiag, fold_block_weights)
+    from lowbitdnn_project_tpu.models.layers import QConvParams
+    from lowbitdnn_project_tpu.quant.qtensor import QTensor
+
+    if not cfg.bottleneck:
+        return qparams
+
+    def dup(v):
+        return None if v is None else jnp.concatenate([v, v])
+
+    def qt(vals4d, src: QTensor):
+        sv = src.weight.scale_vector()
+        return QTensor(values=vals4d,
+                       scale=jnp.concatenate([sv, sv]).reshape(
+                           1, 1, 1, -1),
+                       bits=src.weight.bits, axis=3)
+
+    folded = []
+    for blk in qparams["layer1"]:
+        w1q, w2q, w3q = blk["conv1"], blk["conv2"], blk["conv3"]
+        cin, cmid = w1q.weight.shape[2:4]
+        f = fold_block_weights(w1q.weight.values[0, 0], w2q.weight.values,
+                               w3q.weight.values[0, 0])
+        fb = {
+            "conv1": QConvParams(weight=qt(f["w1"][None, None], w1q),
+                                 bias=dup(w1q.bias)),
+            "conv2": QConvParams(
+                weight=qt(f["w2"].reshape(3, 3, 2 * cmid, 2 * cmid), w2q),
+                bias=dup(w2q.bias)),
+            "conv3": QConvParams(weight=qt(f["w3"][None, None], w3q),
+                                 bias=dup(w3q.bias)),
+        }
+        if "downsample" in blk:
+            dq = blk["downsample"]
+            fb["downsample"] = QConvParams(
+                weight=qt(_blockdiag(dq.weight.values[0, 0])[None, None],
+                          dq),
+                bias=dup(dq.bias))
+        folded.append(fb)
+    return dict(qparams, layer1_folded=folded)
+
+
 # --------------------------------------------------------- quantized forward
 
 def apply_quantized(
@@ -258,6 +311,7 @@ def apply_quantized_int8chain(
     use_w4a8_1x1: Optional[bool] = None,
     use_wpack: Optional[bool] = None,
     stage_packs: Optional[Dict[int, Dict[str, Any]]] = None,
+    fold_layer1: bool = False,
     stop_after_stage: Optional[int] = None,
     start_at_stage: int = 0,
     act_unsigned: bool = False,
@@ -313,6 +367,14 @@ def apply_quantized_int8chain(
     scales are rescaled by 127/255 at those sites. Requires
     add_domain="float"; forces the classic stem and per-conv backend (the
     fused Pallas kernels are symmetric-int8-only).
+    fold_layer1: run layer1 in the folded-W layout at the XLA level
+    (requires fold_layer1_params prepack; bit-identical logits —
+    tests/test_resident_chain.py). MEASURED NEGATIVE at batch: e2e
+    0.857x/0.966x at b32/b128 (fold_l1_ab_r3.json) — the 2x padded MACs
+    cost more than the cmid=64 lane-starvation they cure once the batch
+    supplies rows. Opt-in; the same algebra is what wins at b1 inside the
+    resident chain (kernels/resident_chain.py), where compute is free and
+    dispatch dominates.
     use_wpack: route the layer1 bottleneck triples (where cin=cout=64
     leaves the MXU half-empty in BOTH the contraction and output lane
     dims) through the output-pair-packed formulation (ops/wpack.py).
@@ -444,8 +506,43 @@ def apply_quantized_int8chain(
 
     use_resident = (block_backend == "resident" and stage_packs
                     and add_domain == "float" and not act_unsigned)
+    use_fold_l1 = (fold_layer1 and "layer1_folded" in qparams
+                   and add_domain == "float" and not act_unsigned
+                   and cfg.bottleneck and start_at_stage == 0)
 
     for st in range(start_at_stage, 4):
+        if st == 0 and use_fold_l1:
+            # layer1 in the folded-W layout (kernels/resident_chain.py
+            # fold_block_weights algebra, applied at the XLA level): the
+            # 56x56x(64/256) stage is the measured lane-starvation ceiling
+            # (cmid=64 half-fills the MXU lane dims — KERNEL_LAB layer1
+            # closure); folding W-pairs into channels runs every conv at
+            # full 128+ lanes for 2x padded MACs. Prepack via
+            # fold_layer1_params; e2e A/B decides routing as always.
+            n_, h_, w_, c_ = x_q.values.shape
+            x_q = QTensor(values=x_q.values.reshape(n_, h_, w_ // 2, 2 * c_),
+                          scale=x_q.scale)
+            for i, fblk in enumerate(qparams["layer1_folded"]):
+                pre = f"layer1.{i}"
+                s_out = s[next_site(0, i)]
+                h = qc(x_q, fblk["conv1"], relu=True,
+                       out_scale=s[f"{pre}.conv2"])
+                h = qc(h, fblk["conv2"], relu=True,
+                       out_scale=s[f"{pre}.conv3"], padding=1)
+                h = qc(h, fblk["conv3"], relu=False)
+                if "downsample" in fblk:
+                    identity = qc(x_q, fblk["downsample"], relu=False)
+                else:
+                    identity = x_q.dequantize().astype(act_dtype)
+                out_f = jnp.maximum(h + identity, 0.0)
+                x_q = quantize(out_f, scale=s_out)
+            n_, h_, wf_, c2_ = x_q.values.shape
+            x_q = QTensor(values=x_q.values.reshape(n_, h_, 2 * wf_,
+                                                    c2_ // 2),
+                          scale=x_q.scale)
+            if stop_after_stage == 1:
+                return x_q
+            continue
         blocks = qparams[f"layer{st + 1}"]
         for i, blk in enumerate(blocks):
             if use_resident and st in stage_packs \

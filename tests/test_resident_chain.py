@@ -113,3 +113,27 @@ def test_apply_serving_resident_matches_chain(rng):
     assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 0.1, rel
+
+
+def test_fold_layer1_bit_identical(rng):
+    """fold_layer1 routing (XLA-level folded-W layer1) is bit-identical to
+    the classic chain — same sums, rearranged lanes. (e2e it LOSES at
+    b32/b128 — fold_l1_ab_r3.json — and stays opt-in; the algebra is
+    load-bearing for the resident chain's b1 win.)"""
+    cfg = resnet.RESNET50
+    params = resnet.init_params(jax.random.key(1), cfg)
+    qp8 = resnet.quantize_params(params, cfg)
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_cache.json")
+    with open(path) as f:
+        scales = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in json.load(f)["act_scales"].items()}
+    qpf = resnet.fold_layer1_params(qp8, cfg)
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+    ref = resnet.apply_quantized_int8chain(qp8, x, scales, cfg,
+                                           backend="xla",
+                                           stem_backend="classic")
+    got = resnet.apply_quantized_int8chain(qpf, x, scales, cfg,
+                                           backend="xla",
+                                           stem_backend="classic",
+                                           fold_layer1=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
