@@ -9,7 +9,7 @@ interleaved min-of-2, chained device timing, plus a correctness cross-check
 of the two variants' logits on device.
 
 Run: python -m lowbitdnn_project_tpu.bench.probes.resident_chain_ab [batch]
-Writes resident_chain_ab_r3.json.
+Writes resident_chain_ab[_bN]_r3.json (b1 keeps the headline filename).
 """
 from __future__ import annotations
 
@@ -80,7 +80,9 @@ def main(batch=1):
            "logit_rel": round(rel, 4),
            "speedup": round(us["classic"] / us["resident_chain"], 3)}
     print(json.dumps(out, indent=1))
-    with open("resident_chain_ab_r3.json", "w") as f:
+    name = ("resident_chain_ab_r3.json" if batch == 1
+            else f"resident_chain_ab_b{batch}_r3.json")
+    with open(name, "w") as f:
         json.dump(out, f, indent=1)
 
 
