@@ -180,6 +180,46 @@ def main():
     print(f"stage_resident: |delta|<=1 ok (n_diff {(dr > 0).sum()})",
           flush=True)
 
+    # --- folded-W downsample block (resident chain's stride-2 kernel) ---
+    from lowbitdnn_project_tpu.kernels.resident_chain import (
+        block_ds_resident, fold_w)
+
+    hds, cds = 8, 128
+    kk = [jnp.asarray(rng.integers(-5, 6, sh), jnp.int8) for sh in
+          [(1, hds, hds, cds), (1, 1, cds, cds), (3, 3, cds, cds),
+           (1, 1, cds, 2 * cds), (1, 1, cds, 2 * cds)]]
+    xd, wd1, wd2, wd3, wdp = kk
+    sde = jnp.full((cds,), 0.013037, jnp.float32)
+    sdo = jnp.full((2 * cds,), 0.011071, jnp.float32)
+
+    def _rq(v, sc):
+        return jnp.clip(jnp.round(v * (1.0 / sc)), -127, 127).astype(jnp.int8)
+
+    a1 = conv2d_int32(xd, wd1).astype(jnp.float32)
+    y1d = _rq(jnp.maximum(a1 * sde, 0.0), 0.090137)
+    a2 = conv2d_int32(y1d, wd2, (2, 2), (1, 1)).astype(jnp.float32)
+    y2d = _rq(jnp.maximum(a2 * sde, 0.0), 0.120219)
+    a3 = conv2d_int32(y2d, wd3).astype(jnp.float32)
+    pjd = conv2d_int32(xd, wdp, (2, 2)).astype(jnp.float32)
+    refd = _rq(jnp.maximum((a3 + pjd) * sdo, 0.0), 0.070111)
+
+    from lowbitdnn_project_tpu.kernels.stage_resident import resident_meta
+    w2a = jnp.concatenate([jnp.concatenate([wd2[dy, 1], wd2[dy, 2]])
+                           for dy in range(3)])
+    w2b = jnp.concatenate([wd2[dy, 0] for dy in range(3)])
+    rowf = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    zc, zo = rowf(jnp.zeros(cds)), rowf(jnp.zeros(2 * cds))
+    gotd = block_ds_resident(
+        fold_w(xd), wd1[0, 0], w2a, w2b, wd3[0, 0], wdp[0, 0],
+        rowf(sde), zc, rowf(sde), zc, rowf(sdo), zo, rowf(sdo), zo,
+        jnp.asarray([0.090137, 0.120219, 0.070111], jnp.float32),
+        meta=resident_meta(1, hds, hds // 2),
+        out_meta=resident_meta(1, hds // 2, hds // 2))
+    dd = np.abs(np.asarray(gotd, np.int32) - np.asarray(refd, np.int32))
+    assert dd.max() <= 1, dd.max()
+    print(f"block_ds_resident: |delta|<=1 ok (n_diff {(dd > 0).sum()})",
+          flush=True)
+
     property_checks()
     print("TPU SMOKE OK")
 
