@@ -38,7 +38,7 @@ conv2DForward3x3Fused.cuh (fused quantize+conv ethos).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -459,6 +459,17 @@ def pack_resident_chain(qparams: Dict[str, Any],
     """
     from lowbitdnn_project_tpu.kernels.stage_resident import (
         pack_stage_resident)
+
+    if not cfg.bottleneck:
+        raise NotImplementedError(
+            "resident chain needs the bottleneck block shape "
+            "(ResNet-50/101); basic-block configs serve via the classic "
+            "chain")
+    for st in range(4):
+        if "downsample" not in qparams[f"layer{st + 1}"][0]:
+            raise NotImplementedError(
+                f"resident chain expects a projection in layer{st + 1}.0 "
+                "(torchvision ResNet-50 shape)")
 
     s = act_scales
 

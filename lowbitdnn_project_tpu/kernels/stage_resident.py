@@ -35,7 +35,7 @@ custom2DConvolution.cuh v5/v6 (persistent in-block accumulation ethos).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
