@@ -31,6 +31,13 @@ def qlinear(
 ) -> Union[jax.Array, QTensor]:
     if x_q.axis is not None:
         raise NotImplementedError("per-channel activation scales unsupported")
+    if x_q.zero_point is not None or w_q.zero_point is not None:
+        # qconv2d handles asymmetric inputs with the zp*colsum(w) correction
+        # (ops/conv.py); qlinear has no such epilogue — silently computing
+        # x*w without it would be wrong, so refuse loudly.
+        raise NotImplementedError(
+            "qlinear does not support asymmetric (zero_point) tensors; "
+            "re-quantize symmetrically or route through qconv2d's 1x1 path")
     k_out = w_q.shape[1]
     scale = jnp.broadcast_to(
         (x_q.scale * w_q.scale_vector()).astype(jnp.float32).reshape(-1),

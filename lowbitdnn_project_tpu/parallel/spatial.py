@@ -120,7 +120,7 @@ def qconv2d_sp(
 
     Stride 1 requires kh odd (SAME halo ph = (kh-1)//2). Strided convs use
     the asymmetric halo (top ph = (kh-1)//2, bottom kh-ph-stride); local H
-    must divide by the stride so every shard emits H_local/stride rows and
+    must be divisible by the stride so every shard emits H_local/stride rows and
     the output keeps the H sharding — SP convs chain without re-sharding.
 
     Use with:
@@ -135,8 +135,8 @@ def qconv2d_sp(
     pw = (kw - 1) // 2 if pad_w is None else pad_w
     if stride > 1 and x.shape[1] % stride:
         raise ValueError(
-            f"qconv2d_sp: local H ({x.shape[1]}) must divide stride "
-            f"{stride}")
+            f"qconv2d_sp: local H ({x.shape[1]}) must be divisible by "
+            f"stride {stride}")
 
     xh = halo_exchange_rows_asym(x, ph, max(0, kh - ph - stride), axis_name)
     acc = jax.lax.conv_general_dilated(
@@ -164,12 +164,12 @@ def qmax_pool2d_sp(
     """H-sharded int8 max pool (shard_map body): asymmetric halo exchange
     (ring-end rows refilled with -128, the max-pool pad identity), then a
     local reduce_window VALID in H / padded in W. Same alignment rule as
-    the strided conv: local H must divide the stride; output keeps the H
+    the strided conv: local H must be divisible by the stride; output keeps the H
     sharding with H_local/stride rows."""
     if x.shape[1] % stride:
         raise ValueError(
-            f"qmax_pool2d_sp: local H ({x.shape[1]}) must divide stride "
-            f"{stride}")
+            f"qmax_pool2d_sp: local H ({x.shape[1]}) must be divisible by "
+            f"stride {stride}")
     xh = halo_exchange_rows_asym(
         x, padding, max(0, ksize - padding - stride), axis_name, fill=-128)
     return jax.lax.reduce_window(

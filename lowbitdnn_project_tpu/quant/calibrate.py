@@ -9,6 +9,16 @@ calibrates once and bakes static scales. Strategies here:
   * sigma    — mean + k·std coverage, the ±4σ methodology the reference uses to
                justify Winograd-domain ranges (weights.py:8-26)
   * percentile — clip to the p-th percentile of |x|
+
+MEASURED VERDICT (accuracy_parity.json, round 3/4 A/B on the trained QAT
+ResNet): for ACTIVATION calibration sigma(k=4) is dominated — int8 logit
+relerr 0.2101 vs 0.0662 (absmax) and 0.0596 (percentile). sigma's role in
+the reference is bounding WEIGHT ranges in the Winograd transform domain
+(weights.py:8-26), where the distribution is near-Gaussian; conv
+activations are post-ReLU half-Gaussians with heavy tails, where a ±kσ
+window clips far too aggressively. Use absmax or percentile for
+activations; sigma stays available for transform-domain weight ranges
+(ops/winograd.py calibration) only.
 """
 from __future__ import annotations
 
@@ -30,6 +40,10 @@ class Calibrator:
 
     def __init__(self, strategy: str = "absmax", sigma_k: float = 4.0,
                  percentile: float = 99.99):
+        """strategy: "absmax" (default) or "percentile" for activations;
+        "sigma" is measurably dominated for activation calibration (3x the
+        logit error of absmax, see module docstring) and is kept only for
+        the transform-domain weight-range role it has in the reference."""
         if strategy not in ("absmax", "sigma", "percentile"):
             raise ValueError(f"unknown calibration strategy {strategy!r}")
         self.strategy = strategy

@@ -24,22 +24,29 @@ def fake_quantize_tree(params: Any, bits: int = 8) -> Any:
     """Fake-quantize every conv (ndim 4, axis 3) and linear (ndim 2, axis 1)
     weight in a param pytree; 1-D tensors (BN, bias) pass through.
 
-    Depthwise conv weights (HWIO with I==1) stay at 8 bits when bits < 8,
-    matching deployment (models/mobilenet.py quantize_params dw_bits
-    rationale) — fake-quant precision must mirror deploy precision or the
-    fine-tune optimizes the wrong network."""
-    def go(x):
+    Depthwise conv weights stay at 8 bits when bits < 8, matching deployment
+    (models/mobilenet.py quantize_params dw_bits rationale) — fake-quant
+    precision must mirror deploy precision or the fine-tune optimizes the
+    wrong network. Depthwise is detected from the PARAM PATH (a "dw" dict
+    key, the convention models/mobilenet.py:79 uses), not from the weight
+    shape: a shape test (I==1) would misclassify any ordinary conv with
+    cin==1 (e.g. a grayscale stem) and silently pin it to 8-bit fake-quant
+    while deploy quantizes it at ``bits``."""
+    def is_dw(path) -> bool:
+        return any(isinstance(k, jax.tree_util.DictKey) and k.key == "dw"
+                   for k in path)
+
+    def go(path, x):
         if not isinstance(x, jax.Array) and not hasattr(x, "ndim"):
             return x
         if x.ndim == 4:
-            b = 8 if (bits < 8 and x.shape[2] == 1 and x.shape[0] > 1) \
-                else bits
+            b = 8 if (bits < 8 and is_dw(path)) else bits
             return fake_quantize(x, bits=b, axis=3)
         if x.ndim == 2:
             return fake_quantize(x, bits=bits, axis=1)
         return x
 
-    return jax.tree_util.tree_map(go, params)
+    return jax.tree_util.tree_map_with_path(go, params)
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:

@@ -21,10 +21,15 @@ from lowbitdnn_project_tpu.quant import QTensor, pack_int4, unpack_int4
 from lowbitdnn_project_tpu.models.layers import QConvParams, QLinearParams
 
 _MANIFEST = "__manifest__.json"
-# .lbq format version. 1 = {"version": 1, "tree": <spec>} manifest envelope.
-# Files written before the envelope existed (bare <spec> manifest) load as
-# version 0.
+# .lbq format version. 1 = {"__lbq_version__": 1, "tree": <spec>} manifest
+# envelope. The reserved "__lbq_version__" key cannot collide with a
+# flattened tree spec (every spec node uses its own __qtensor__/__dict__/...
+# sentinel), so detection is exact, not heuristic. Files written before the
+# envelope existed (bare <spec> manifest) load as version 0; round-3 files
+# that used the un-reserved {"version", "tree"} envelope are still accepted
+# (a bare spec root can never carry those two keys without a sentinel).
 _FORMAT_VERSION = 1
+_VERSION_KEY = "__lbq_version__"
 
 
 def _flatten(node: Any, path: str, arrays: Dict[str, np.ndarray]) -> Any:
@@ -112,7 +117,7 @@ def save_quantized(path: str, tree: Any) -> None:
     spec = _flatten(jax.device_get(tree), "root", arrays)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_MANIFEST,
-                    json.dumps({"version": _FORMAT_VERSION, "tree": spec}))
+                    json.dumps({_VERSION_KEY: _FORMAT_VERSION, "tree": spec}))
         for key, arr in arrays.items():
             buf = io.BytesIO()
             np.save(buf, arr, allow_pickle=False)
@@ -122,7 +127,11 @@ def save_quantized(path: str, tree: Any) -> None:
 def load_quantized(path: str) -> Any:
     with zipfile.ZipFile(path, "r") as zf:
         spec = json.loads(zf.read(_MANIFEST))
-        if isinstance(spec, dict) and "version" in spec and "tree" in spec:
+        if isinstance(spec, dict) and _VERSION_KEY in spec:
+            version, spec = spec[_VERSION_KEY], spec["tree"]
+        elif (isinstance(spec, dict) and spec.keys() == {"version", "tree"}
+              and isinstance(spec["version"], int)):
+            # round-3 transitional envelope (before the reserved key)
             version, spec = spec["version"], spec["tree"]
         else:
             version = 0  # pre-envelope files: manifest IS the tree spec

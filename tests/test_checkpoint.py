@@ -67,3 +67,35 @@ def test_mixed_tree_roundtrip(tmp_path):
     assert isinstance(loaded["list"][1], tuple) and loaded["list"][1][1] == 7
     np.testing.assert_array_equal(np.asarray(loaded["qt"].values),
                                   np.ones((4, 4)))
+
+
+def test_version_envelope_reserved_key(tmp_path):
+    """The manifest envelope uses the reserved __lbq_version__ key; a user
+    tree with 'version'/'tree' keys must round-trip unscathed, and the
+    round-3 transitional {'version', 'tree'} envelope must still load."""
+    import io
+    import json
+    import zipfile
+
+    tree = {"version": 3, "tree": {"depth": jnp.asarray(2.0)}}
+    p = str(tmp_path / "v.lbq")
+    save_quantized(p, tree)
+    with zipfile.ZipFile(p) as zf:
+        manifest = json.loads(zf.read("__manifest__.json"))
+    assert manifest["__lbq_version__"] == 1
+    loaded = load_quantized(p)
+    assert loaded["version"] == 3
+    np.testing.assert_allclose(np.asarray(loaded["tree"]["depth"]), 2.0)
+
+    # rewrite as the round-3 transitional envelope: still loads
+    with zipfile.ZipFile(p) as zf:
+        names = {n: zf.read(n) for n in zf.namelist()}
+    legacy = {"version": manifest["__lbq_version__"],
+              "tree": manifest["tree"]}
+    p2 = str(tmp_path / "v_legacy.lbq")
+    with zipfile.ZipFile(p2, "w") as zf:
+        for n, data in names.items():
+            zf.writestr(n, json.dumps(legacy) if n == "__manifest__.json"
+                        else data)
+    loaded2 = load_quantized(p2)
+    assert loaded2["version"] == 3

@@ -104,3 +104,22 @@ def test_compute_scale_matches_manual(rng):
         float(compute_scale(x)), float(jnp.max(jnp.abs(x))) / 127, rtol=1e-6)
     pc = compute_scale(x, axis=1)
     assert pc.shape == (1, 16)
+
+
+def test_fake_quantize_tree_dw_by_path():
+    """Depthwise detection is by the 'dw' path key, not weight shape: a
+    cin==1 stem conv must fake-quant at the requested low bit-width, while
+    a 'dw' weight stays at 8 bits (deploy parity with mobilenet dw_bits)."""
+    from lowbitdnn_project_tpu.train.qat import fake_quantize_tree
+
+    key = jax.random.key(0)
+    stem = jax.random.normal(key, (3, 3, 1, 8))       # grayscale stem, cin=1
+    dw = jax.random.normal(key, (3, 3, 1, 16))        # depthwise by path
+    tree = {"stem": {"w": stem}, "b0": {"dw": {"w": dw}}}
+    out = fake_quantize_tree(tree, bits=4)
+    # int4 has 15 levels -> the stem must land on a 15-level grid
+    sq = np.asarray(out["stem"]["w"])
+    assert len(np.unique(sq[..., 0])) <= 15
+    # the dw weight keeps int8 resolution (more than 15 distinct levels)
+    dq = np.asarray(out["b0"]["dw"]["w"])
+    assert len(np.unique(dq)) > 15

@@ -179,3 +179,18 @@ def test_checkpoint_roundtrip_zero_point(tmp_path, rng):
                                   np.asarray(q.values))
     assert int(back["act"].zero_point) == -128
     assert back["plain"].zero_point is None
+
+
+def test_qlinear_rejects_zero_point():
+    """qlinear has no zp row-sum epilogue; asymmetric inputs must fail
+    loudly instead of returning silently-wrong x*w (ADVICE r3)."""
+    import pytest
+    from lowbitdnn_project_tpu.ops import qlinear
+    from lowbitdnn_project_tpu.quant import quantize
+
+    x = jax.random.normal(jax.random.key(0), (4, 8))
+    w = jax.random.normal(jax.random.key(1), (8, 5))
+    x_u = quantize(x, unsigned=True)
+    w_q = quantize(w, axis=1)
+    with pytest.raises(NotImplementedError):
+        qlinear(x_u, w_q)
