@@ -26,7 +26,10 @@ Consequences:
     (stem -> ... -> layer4) where downsamples ride parity-split glue —
     the resident-chain design this probe motivates.
 
-Run: python -m lowbitdnn_project_tpu.bench.probes.pallas_tax
+Run: python -m lowbitdnn_project_tpu.bench.probes.pallas_tax [batch]
+(batch > 1 writes pallas_tax_b{N}_r4.json — the round-4 question: does the
+~62 us entry tax persist at b2-b8, i.e. is a partial-resident region that
+pays ONE tax live against the 266/462 us classic b4/b8 chains?)
 """
 from __future__ import annotations
 
@@ -64,7 +67,7 @@ def ident(x):
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
 
 
-def main():
+def main(batch=1):
     t0 = time.perf_counter()
 
     def mark(m):
@@ -90,7 +93,7 @@ def main():
         return quantize(jnp.maximum(h + idn, 0.0),
                         scale=s["layer3.1.conv1"])
 
-    x28 = jnp.ones((1, 28, 28, 512), jnp.int8)
+    x28 = jnp.ones((batch, 28, 28, 512), jnp.int8)
 
     def v_ds(c, qp):
         y = ds_block(QTensor(values=c, scale=s["layer3.0.conv1"]), qp)
@@ -109,7 +112,7 @@ def main():
         y = ds_block(QTensor(values=c, scale=s["layer3.0.conv1"]), qp)
         z = ident(y.values)
         g = jnp.pad(z, ((0, 0), (0, 1), (0, 1), (0, 0))).reshape(
-            1, 15 * 15, 1024)
+            batch, 15 * 15, 1024)
         return chain_via_scalar(c, ident(g))
 
     def v_glue_slice(c, qp):
@@ -119,14 +122,23 @@ def main():
 
     # iteration counts sized so T(hi)-T(lo) >> the ~100 ms relay-jitter
     # floor (CLAUDE.md): ~5 us ops need ~20k chained iters, ~70 us need ~2k
-    variants = {
-        "ds_only": (v_ds, 3000, 23000),
-        "ds_plus_ident": (v_ident(1), 200, 1700),
-        "ds_plus_ident_x2": (v_ident(2), 200, 1700),
-        "ds_plus_ident_x3": (v_ident(3), 200, 1700),
-        "glue_pad_between": (v_glue_pad, 200, 1700),
-        "glue_slice_between": (v_glue_slice, 200, 1700),
-    }
+    if batch == 1:
+        variants = {
+            "ds_only": (v_ds, 3000, 23000),
+            "ds_plus_ident": (v_ident(1), 200, 1700),
+            "ds_plus_ident_x2": (v_ident(2), 200, 1700),
+            "ds_plus_ident_x3": (v_ident(3), 200, 1700),
+            "glue_pad_between": (v_glue_pad, 200, 1700),
+            "glue_slice_between": (v_glue_slice, 200, 1700),
+        }
+    else:
+        # batch sweep: just the tax question (ds vs ds+ident); heavier ops
+        # per iter, so fewer chained iters still clear the jitter floor
+        variants = {
+            "ds_only": (v_ds, 1000, 9000),
+            "ds_plus_ident": (v_ident(1), 200, 1700),
+            "ds_plus_ident_x2": (v_ident(2), 200, 1700),
+        }
     best = {}
     for p in range(2):
         for name, (fn, lo, hi) in variants.items():
@@ -136,14 +148,20 @@ def main():
             mark(f"{name} pass{p}: {t * 1e6:8.1f} us")
 
     us = {k: round(v * 1e6, 1) for k, v in best.items()}
-    out = {"batch": 1, "us": us,
-           "entry_tax_us": round(us["ds_plus_ident"] - us["ds_only"], 1),
-           "pallas_to_pallas_us": round(
-               us["ds_plus_ident_x3"] - us["ds_plus_ident"], 1)}
+    out = {"batch": batch, "us": us,
+           "entry_tax_us": round(us["ds_plus_ident"] - us["ds_only"], 1)}
+    if "ds_plus_ident_x3" in us:
+        out["pallas_to_pallas_us"] = round(
+            us["ds_plus_ident_x3"] - us["ds_plus_ident"], 1)
+    elif "ds_plus_ident_x2" in us:
+        out["pallas_to_pallas_us"] = round(
+            us["ds_plus_ident_x2"] - us["ds_plus_ident"], 1)
     print(json.dumps(out, indent=1))
-    with open("pallas_tax_r3.json", "w") as f:
+    name = ("pallas_tax_r3.json" if batch == 1
+            else f"pallas_tax_b{batch}_r4.json")
+    with open(name, "w") as f:
         json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1)

@@ -550,31 +550,21 @@ def pack_resident_chain(qparams: Dict[str, Any],
     return pack
 
 
-def apply_serving_resident(qparams: Dict[str, Any], x, act_scales,
-                           cfg, pack: Optional[Dict] = None, *,
-                           interpret: bool = False) -> jax.Array:
-    """Batch-1-class serving forward: stem -> layer4 as one contiguous
-    pallas region (per-block NHWC kernels, parity-slice glue only), head
-    in XLA."""
-    from lowbitdnn_project_tpu.kernels.stem_fused import stem_conv_pool_fused
-    from lowbitdnn_project_tpu.quant import quantize
-    from lowbitdnn_project_tpu.quant.qtensor import QTensor
-    from lowbitdnn_project_tpu.ops import qlinear
+def run_resident_stages(vals: jax.Array, folded: bool, pack: Dict, *,
+                        start_stage: int = 0, interpret: bool = False):
+    """Run residual stages ``start_stage``..3 through the resident kernels.
 
-    s = act_scales
-    if pack is None:
-        pack = pack_resident_chain(qparams, s, cfg)
+    ``vals`` is the int8 NHWC feature map entering stage ``start_stage``
+    (already fold_w-folded iff ``folded``); returns (vals, out_scale) after
+    layer4. Shared by the full resident chain (start 0) and the
+    partial-resident serving lanes (start 1/2 at b4/b8, where layer1's
+    VMEM footprint exceeds the chip). Pack entries carrying ``w4=True``
+    (kernels/resident_w4a8.py nibble-packed weights) route to the W4A8
+    kernel twins automatically."""
+    from lowbitdnn_project_tpu.kernels import resident_w4a8
 
-    x_q = x if isinstance(x, QTensor) else quantize(x, scale=s["conv1"])
-    x_q = stem_conv_pool_fused(x_q, qparams["conv1"].weight,
-                               qparams["conv1"].bias,
-                               s["layer1.0.conv1"], relu=True, version=3,
-                               interpret=interpret)
-
-    vals = fold_w(x_q.values)     # layer1 runs in the folded-W layout
-    folded = True
     out_scale = None
-    for st in range(4):
+    for st in range(start_stage, 4):
         e = pack["entry"][st]
         ch3 = e["chain"]
         tail = (e["s1"], e["b1"], e["s2"], e["b2"], e["s3"], e["b3"],
@@ -591,7 +581,9 @@ def apply_serving_resident(qparams: Dict[str, Any], x, act_scales,
             n, h, wv, _ = vals.shape   # folded (n, h, w/2, 2c)
             mf = resident_meta(n, h, wv)
             mo = resident_meta(n, h // 2, wv)
-            vals = block_ds_resident(
+            ds = (resident_w4a8.block_ds_resident_w4 if e.get("w4")
+                  else block_ds_resident)
+            vals = ds(
                 vals, e["w1"], e["w2a"], e["w2b"], e["w3"],
                 e["wp"], *tail, meta=mf, out_meta=mo, interpret=interpret)
             folded = False
@@ -599,7 +591,9 @@ def apply_serving_resident(qparams: Dict[str, Any], x, act_scales,
         if sp_ is not None and sp_["nblk"] > 0:
             n2, h2v, w2v_, _ = vals.shape
             m2 = resident_meta(n2, h2v, w2v_)
-            vals = stage_nhwc_resident(
+            stage = (resident_w4a8.stage_nhwc_resident_w4 if sp_.get("w4")
+                     else stage_nhwc_resident)
+            vals = stage(
                 vals, sp_["w1"], sp_["w2"], sp_["w3"],
                 sp_["s1"], sp_["b1"], sp_["s2"], sp_["b2"],
                 sp_["s3"], sp_["b3"], sp_["chain"],
@@ -607,11 +601,74 @@ def apply_serving_resident(qparams: Dict[str, Any], x, act_scales,
             out_scale = sp_["chain"][-1, 3]
         else:
             out_scale = ch3[2]
+    return vals, out_scale
+
+
+def _resident_head(qparams, vals, out_scale, act_scales, *,
+                   interpret: bool = False) -> jax.Array:
+    from lowbitdnn_project_tpu.quant import quantize
+    from lowbitdnn_project_tpu.ops import qlinear
 
     feat = jnp.mean(vals.astype(jnp.float32) * out_scale, axis=(1, 2))
-    x_fc = quantize(feat, scale=s["fc"])
+    x_fc = quantize(feat, scale=act_scales["fc"])
     return qlinear(x_fc, qparams["fc"].weight, qparams["fc"].bias,
                    interpret=interpret)
+
+
+def apply_serving_resident(qparams: Dict[str, Any], x, act_scales,
+                           cfg, pack: Optional[Dict] = None, *,
+                           interpret: bool = False) -> jax.Array:
+    """Batch-1-class serving forward: stem -> layer4 as one contiguous
+    pallas region (per-block NHWC kernels, parity-slice glue only), head
+    in XLA."""
+    from lowbitdnn_project_tpu.kernels.stem_fused import stem_conv_pool_fused
+    from lowbitdnn_project_tpu.quant import quantize
+    from lowbitdnn_project_tpu.quant.qtensor import QTensor
+
+    s = act_scales
+    if pack is None:
+        pack = pack_resident_chain(qparams, s, cfg)
+
+    x_q = x if isinstance(x, QTensor) else quantize(x, scale=s["conv1"])
+    x_q = stem_conv_pool_fused(x_q, qparams["conv1"].weight,
+                               qparams["conv1"].bias,
+                               s["layer1.0.conv1"], relu=True, version=3,
+                               interpret=interpret)
+
+    # layer1 runs in the folded-W layout
+    vals, out_scale = run_resident_stages(
+        fold_w(x_q.values), True, pack, start_stage=0, interpret=interpret)
+    return _resident_head(qparams, vals, out_scale, s, interpret=interpret)
+
+
+def apply_serving_partial_resident(
+    qparams: Dict[str, Any], x, act_scales, cfg,
+    pack: Optional[Dict] = None, *,
+    start_stage: int = 1,
+    backend: str = "xla",
+    interpret: bool = False,
+) -> jax.Array:
+    """Partial-resident serving: stem..layer{start_stage} through the
+    classic XLA chain, then ONE contiguous pallas region for the rest.
+
+    The b4/b8 lane motivated by pallas_tax: the full resident chain is
+    VMEM-bound to b1 (layer1's folded maps + accumulators), but the tax is
+    paid once per XLA->pallas entry — a layer{start_stage+1}->layer4
+    region pays ONE tax while replacing the per-op-dispatch-bound deep
+    stages. start_stage=1 keeps layer1 classic (b4), start_stage=2 keeps
+    layers 1-2 classic (b8)."""
+    from lowbitdnn_project_tpu.models import resnet
+
+    s = act_scales
+    if pack is None:
+        pack = pack_resident_chain(qparams, s, cfg)
+    x_q = resnet.apply_quantized_int8chain(
+        qparams, x, s, cfg, backend=backend,
+        stop_after_stage=start_stage, interpret=interpret)
+    vals, out_scale = run_resident_stages(
+        x_q.values, False, pack, start_stage=start_stage,
+        interpret=interpret)
+    return _resident_head(qparams, vals, out_scale, s, interpret=interpret)
 
 
 # ---------------------------------------------- jit-boundary pack splitting

@@ -58,7 +58,7 @@ from lowbitdnn_project_tpu.kernels.resident_chain import (
     pack_resident_chain,
 )
 from lowbitdnn_project_tpu.kernels.stage_resident import (
-    ResidentMeta, resident_live_mask, resident_meta,
+    ResidentMeta, resident_live_mask,
 )
 
 # stages (0-based: 0=layer1 .. 3=layer4) that stream packed int4 weights
@@ -340,11 +340,10 @@ def apply_serving_resident_w4(qparams: Dict[str, Any], x, act_scales,
     contiguous pallas region as apply_serving_resident, but the packed
     stages stream half the weight bytes."""
     from lowbitdnn_project_tpu.kernels.resident_chain import (
-        block_ds_resident, block_proj_resident, stage_nhwc_resident)
+        _resident_head, run_resident_stages)
     from lowbitdnn_project_tpu.kernels.stem_fused import stem_conv_pool_fused
     from lowbitdnn_project_tpu.quant import quantize
     from lowbitdnn_project_tpu.quant.qtensor import QTensor
-    from lowbitdnn_project_tpu.ops import qlinear
 
     s = act_scales
     if pack is None:
@@ -356,50 +355,9 @@ def apply_serving_resident_w4(qparams: Dict[str, Any], x, act_scales,
                                s["layer1.0.conv1"], relu=True, version=3,
                                interpret=interpret)
 
-    vals = fold_w(x_q.values)
-    folded = True
-    out_scale = None
-    for st in range(4):
-        e = pack["entry"][st]
-        ch3 = e["chain"]
-        tail = (e["s1"], e["b1"], e["s2"], e["b2"], e["s3"], e["b3"],
-                e["sp"], e["bp"], ch3)
-        if e["stride"] == 1:
-            n, h, wv, _ = vals.shape
-            m = resident_meta(n, h, wv)
-            vals = block_proj_resident(
-                vals, e["w1"], e["w2"], e["w3"], e["wp"], *tail, meta=m,
-                interpret=interpret)
-        else:
-            if not folded:
-                vals = fold_w(vals)
-            n, h, wv, _ = vals.shape
-            mf = resident_meta(n, h, wv)
-            mo = resident_meta(n, h // 2, wv)
-            ds = block_ds_resident_w4 if e.get("w4") else block_ds_resident
-            vals = ds(vals, e["w1"], e["w2a"], e["w2b"], e["w3"],
-                      e["wp"], *tail, meta=mf, out_meta=mo,
-                      interpret=interpret)
-            folded = False
-        sp_ = pack["stages"].get(st)
-        if sp_ is not None and sp_["nblk"] > 0:
-            n2, h2v, w2v_, _ = vals.shape
-            m2 = resident_meta(n2, h2v, w2v_)
-            stage = (stage_nhwc_resident_w4 if sp_.get("w4")
-                     else stage_nhwc_resident)
-            vals = stage(
-                vals, sp_["w1"], sp_["w2"], sp_["w3"],
-                sp_["s1"], sp_["b1"], sp_["s2"], sp_["b2"],
-                sp_["s3"], sp_["b3"], sp_["chain"],
-                meta=m2, nblk=sp_["nblk"], interpret=interpret)
-            out_scale = sp_["chain"][-1, 3]
-        else:
-            out_scale = ch3[2]
-
-    feat = jnp.mean(vals.astype(jnp.float32) * out_scale, axis=(1, 2))
-    x_fc = quantize(feat, scale=s["fc"])
-    return qlinear(x_fc, qparams["fc"].weight, qparams["fc"].bias,
-                   interpret=interpret)
+    vals, out_scale = run_resident_stages(
+        fold_w(x_q.values), True, pack, start_stage=0, interpret=interpret)
+    return _resident_head(qparams, vals, out_scale, s, interpret=interpret)
 
 
 ENTRY_STATIC_W4 = ("stride", "cin", "cmid", "cout", "w4")

@@ -137,3 +137,28 @@ def test_fold_layer1_bit_identical(rng):
                                            stem_backend="classic",
                                            fold_layer1=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_apply_partial_resident_matches_chain(rng):
+    """Partial residency (classic stem+layer1, resident layer2->layer4):
+    the b4/b8 lane's numerics vs the classic chain at b1 geometry."""
+    cfg = resnet.RESNET50
+    params = resnet.init_params(jax.random.key(2), cfg)
+    qp8 = resnet.quantize_params(params, cfg)
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_cache.json")
+    with open(path) as f:
+        scales = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in json.load(f)["act_scales"].items()}
+    from lowbitdnn_project_tpu.kernels.resident_chain import (
+        apply_serving_partial_resident)
+    pack = pack_resident_chain(qp8, scales, cfg)
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+    ref = resnet.apply_quantized_int8chain(qp8, x, scales, cfg,
+                                           backend="xla",
+                                           stem_backend="classic")
+    for start in (1, 2):
+        got = apply_serving_partial_resident(
+            qp8, x, scales, cfg, pack, start_stage=start, interpret=True)
+        assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all(), start
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.1, (start, rel)
