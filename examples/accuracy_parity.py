@@ -142,6 +142,13 @@ def run_family(fam, mod, cfg, lr, momentum, data, steps, batch, seed):
             s2 = mod.calibrate_act_scales(params, [x_train[:128]], cfg,
                                           strategy=strat)
             evaluate(f"int8_{strat}", qp8, scales=s2)
+        # W4A8 weight-range strategy A/B (VERDICT r3 #6): int4 weight
+        # ranges are where clipping should matter most — one outlier
+        # costs half the 15-level grid. absmax is the 'w4a8' row above.
+        for pct in (99.5, 99.9):
+            qp4c = mod.quantize_params(p4, cfg, bits=4,
+                                       weight_percentile=pct)
+            evaluate(f"w4a8_wclip{pct}", qp4c, scales=scales4)
     return results, relerr
 
 

@@ -58,10 +58,19 @@ def fold_bn(
     return w_f, b_f
 
 
-def quantize_conv(w: jax.Array, bias: Optional[jax.Array], bits: int = 8
-                  ) -> QConvParams:
-    """FP32 HWIO conv weight -> per-out-channel int8/int4 QConvParams."""
-    return QConvParams(weight=quantize(w, bits=bits, axis=3), bias=bias)
+def quantize_conv(w: jax.Array, bias: Optional[jax.Array], bits: int = 8,
+                  percentile: Optional[float] = None) -> QConvParams:
+    """FP32 HWIO conv weight -> per-out-channel int8/int4 QConvParams.
+
+    percentile clips each out-channel's range at the p-th percentile of
+    |w| instead of the absmax (outliers saturate) — the int4 weight-range
+    strategy A/B'd in accuracy_parity.json."""
+    from lowbitdnn_project_tpu.quant import compute_scale
+
+    scale = (None if percentile is None else
+             compute_scale(w, bits=bits, axis=3, percentile=percentile))
+    return QConvParams(weight=quantize(w, bits=bits, axis=3, scale=scale),
+                       bias=bias)
 
 
 def quantize_linear(w: jax.Array, bias: Optional[jax.Array], bits: int = 8

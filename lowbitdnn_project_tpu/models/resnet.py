@@ -162,16 +162,20 @@ def apply_fp32(params: Dict[str, Any], x: jax.Array,
 # ------------------------------------------------- fold + quantize -> INT8
 
 def quantize_params(params: Dict[str, Any], cfg: ResNetConfig = RESNET18,
-                    bits: int = 8) -> Dict[str, Any]:
+                    bits: int = 8,
+                    weight_percentile: Optional[float] = None
+                    ) -> Dict[str, Any]:
     """Fold BN into convs, then per-channel quantize every conv/linear.
 
     This is the engine's FP32-checkpoint -> quantized-graph converter
     (SURVEY.md §7 step 4; reference intent at QConv2d.py:24-32 commented
-    state_dict hooks).
+    state_dict hooks). weight_percentile clips each out-channel's weight
+    range at the p-th percentile of |w| (outlier saturation) — the int4
+    weight-range strategy A/B (accuracy_parity.json).
     """
     def qc(w, bn):
         wf, bf = fold_bn(w, None, bn["gamma"], bn["beta"], bn["mean"], bn["var"])
-        return quantize_conv(wf, bf, bits=bits)
+        return quantize_conv(wf, bf, bits=bits, percentile=weight_percentile)
 
     qp: Dict[str, Any] = {"conv1": qc(params["conv1"], params["bn1"])}
     for s in range(4):

@@ -28,22 +28,33 @@ def compute_scale(
     bits: int = 8,
     axis: Optional[int] = None,
     eps: float = 1e-12,
+    percentile: Optional[float] = None,
 ) -> jax.Array:
-    """Symmetric absmax scale: per-tensor (axis=None) or per-channel.
+    """Symmetric range scale: per-tensor (axis=None) or per-channel.
 
     Reference analogue: ``_quantization_params`` (quantization.py:90-110),
     which uses per-tensor ``max(|x|)/qmax``. Per-channel is the upgrade the
     reference's fused kernel hints at (per-4-channel-group scales,
     cpp/int8conv/conv2DForward3x3Fused.cuh:15-31).
+
+    percentile: clip the range at the p-th percentile of |x| instead of the
+    absmax (values beyond it saturate at the quantize clip). Matters most
+    for int4 WEIGHT ranges, where one outlier costs half the 15-level grid
+    (A/B'd in accuracy_parity.json).
     """
     qmax = QMAX[bits]
     if axis is None:
-        absmax = jnp.max(jnp.abs(x))
-        return jnp.maximum(absmax, eps).astype(jnp.float32) / qmax
+        a = jnp.abs(x)
+        r = jnp.max(a) if percentile is None else jnp.percentile(a, percentile)
+        return jnp.maximum(r, eps).astype(jnp.float32) / qmax
     axis = axis % x.ndim
     reduce_dims = tuple(i for i in range(x.ndim) if i != axis)
-    absmax = jnp.max(jnp.abs(x), axis=reduce_dims, keepdims=True)
-    return jnp.maximum(absmax, eps).astype(jnp.float32) / qmax
+    a = jnp.abs(x)
+    if percentile is None:
+        r = jnp.max(a, axis=reduce_dims, keepdims=True)
+    else:
+        r = jnp.percentile(a, percentile, axis=reduce_dims, keepdims=True)
+    return jnp.maximum(r, eps).astype(jnp.float32) / qmax
 
 
 @jax.custom_jvp

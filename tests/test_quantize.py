@@ -123,3 +123,23 @@ def test_fake_quantize_tree_dw_by_path():
     # the dw weight keeps int8 resolution (more than 15 distinct levels)
     dq = np.asarray(out["b0"]["dw"]["w"])
     assert len(np.unique(dq)) > 15
+
+
+def test_percentile_weight_clipping():
+    """compute_scale(percentile=) clips per-channel ranges below absmax in
+    the presence of outliers, and the quantize clip saturates them."""
+    from lowbitdnn_project_tpu.quant import compute_scale
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32))
+    w = w.at[0, 0, 0, 0].set(50.0)
+    s_abs = compute_scale(w, bits=4, axis=3)
+    s_pct = compute_scale(w, bits=4, axis=3, percentile=99.0)
+    assert float(s_pct[0, 0, 0, 0]) < float(s_abs[0, 0, 0, 0])
+    # percentile never widens a range, and the outlier channel shrinks
+    # far more than the clean ones
+    assert np.all(np.asarray(s_pct) <= np.asarray(s_abs) + 1e-7)
+    shrink = np.asarray(s_pct / s_abs).reshape(-1)
+    assert shrink[0] < 0.5 and np.all(shrink[1:] > 0.5)
+    q = quantize(w, bits=4, axis=3, scale=s_pct)
+    assert int(jnp.max(jnp.abs(q.values))) <= 7
