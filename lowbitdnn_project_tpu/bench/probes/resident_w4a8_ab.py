@@ -26,7 +26,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lowbitdnn_project_tpu.models import resnet                       # noqa: E402
 from lowbitdnn_project_tpu.kernels.resident_chain import (            # noqa: E402
-    apply_serving_resident, pack_resident_chain, split_pack, merge_pack)
+    apply_serving_resident, mark_stream, pack_resident_chain, split_pack,
+    merge_pack)
 from lowbitdnn_project_tpu.kernels.resident_w4a8 import (             # noqa: E402
     apply_serving_resident_w4, merge_pack_w4, mixed_w4_qparams,
     pack_resident_chain_w4, split_pack_w4)
@@ -51,6 +52,10 @@ def main(batch=1):
                   for k, v in json.load(f)["act_scales"].items()}
     arrs8, st8 = split_pack(pack_resident_chain(qp8, scales, CFG))
     arrs4, st4 = split_pack_w4(pack_resident_chain_w4(qpm, scales, CFG))
+    arrs8s, st8s = split_pack(mark_stream(
+        pack_resident_chain(qp8, scales, CFG)))
+    arrs4s, st4s = split_pack_w4(mark_stream(
+        pack_resident_chain_w4(qpm, scales, CFG)))
     mark("built + packed")
 
     x = jnp.ones((batch, 224, 224, 3), jnp.float32) * 0.5
@@ -68,6 +73,16 @@ def main(batch=1):
                                         merge_pack_w4(a4, st4))
         return chain_via_scalar(c, out)
 
+    def step_res8_stream(c, qp, s, a, a4):
+        out = apply_serving_resident(qp, c, s, CFG,
+                                     merge_pack(arrs8s, st8s))
+        return chain_via_scalar(c, out)
+
+    def step_res4_stream(c, qp, s, a, a4):
+        out = apply_serving_resident_w4(qpm, c, s, CFG,
+                                        merge_pack_w4(arrs4s, st4s))
+        return chain_via_scalar(c, out)
+
     # correctness cross-checks on device before timing
     l8 = jax.jit(lambda a: apply_serving_resident(
         qp8, x, scales, CFG, merge_pack(a, st8)))(arrs8)
@@ -82,7 +97,9 @@ def main(batch=1):
          f"rel {rel_w4:.4f}; w4-vs-int8-chain rel {rel_48:.4f}")
 
     variants = {"classic": step_classic, "resident_int8": step_res8,
-                "resident_w4a8": step_res4}
+                "resident_w4a8": step_res4,
+                "resident_int8_stream": step_res8_stream,
+                "resident_w4a8_stream": step_res4_stream}
     best = {}
     for p in range(2):
         for name, fn in variants.items():
@@ -98,7 +115,9 @@ def main(batch=1):
            "w4_logit_rel_vs_resident_int8": round(rel_48, 4),
            "w4_vs_int8_resident": round(
                us["resident_int8"] / us["resident_w4a8"], 3),
-           "w4_vs_classic": round(us["classic"] / us["resident_w4a8"], 3)}
+           "w4_vs_classic": round(us["classic"] / us["resident_w4a8"], 3),
+           "best": min(us, key=us.get),
+           "best_vs_classic": round(us["classic"] / min(us.values()), 3)}
     print(json.dumps(out, indent=1))
     name = ("resident_w4a8_ab_r4.json" if batch == 1
             else f"resident_w4a8_ab_b{batch}_r4.json")

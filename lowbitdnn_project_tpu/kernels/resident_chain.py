@@ -581,8 +581,15 @@ def run_resident_stages(vals: jax.Array, folded: bool, pack: Dict, *,
             n, h, wv, _ = vals.shape   # folded (n, h, w/2, 2c)
             mf = resident_meta(n, h, wv)
             mo = resident_meta(n, h // 2, wv)
-            ds = (resident_w4a8.block_ds_resident_w4 if e.get("w4")
-                  else block_ds_resident)
+            if e.get("stream"):
+                from lowbitdnn_project_tpu.kernels.resident_stream import (
+                    block_ds_resident_stream)
+                ds = functools.partial(block_ds_resident_stream,
+                                       packed=bool(e.get("w4")))
+            elif e.get("w4"):
+                ds = resident_w4a8.block_ds_resident_w4
+            else:
+                ds = block_ds_resident
             vals = ds(
                 vals, e["w1"], e["w2a"], e["w2b"], e["w3"],
                 e["wp"], *tail, meta=mf, out_meta=mo, interpret=interpret)
@@ -673,8 +680,17 @@ def apply_serving_partial_resident(
 
 # ---------------------------------------------- jit-boundary pack splitting
 
-ENTRY_STATIC = ("stride", "cin", "cmid", "cout")
+ENTRY_STATIC = ("stride", "cin", "cmid", "cout", "stream")
 STAGE_STATIC = ("nblk", "first", "folded")
+
+
+def mark_stream(pack, stages=(1, 2, 3)):
+    """Route the given downsample entries through the DMA-streamed ds
+    kernel (kernels/resident_stream.py). Returns the pack (mutated)."""
+    for st in stages:
+        if pack["entry"][st]["stride"] == 2:
+            pack["entry"][st]["stream"] = True
+    return pack
 
 
 def split_pack(pack):

@@ -1,0 +1,159 @@
+"""Weight-streaming downsample block: manual DMA overlap for the one-shot
+loads the grid pipeline can't hide.
+
+The resident chain's stage kernels stream per-block weights through
+grid-indexed BlockSpecs — Pallas double-buffers those automatically. The
+DOWNSAMPLE blocks are single-dispatch kernels: their whole weight set
+(ds4: 5.75 MB int8 / 2.9 MB nibble-packed) transfers serially BEFORE any
+compute starts, which round 3 measured as ds4's floor (15.4 us ≈ 7 us
+one-shot load + fixed). This kernel takes the weights in ANY (HBM) memory
+space and issues per-matrix async copies in USE ORDER (w1 first, wp last),
+so the input row-packing and conv1/conv2 compute overlap the tail of the
+weight traffic — the K-tiled-streaming lever from the round-3 TODO.
+
+``packed=True`` composes with kernels/resident_w4a8.py: the streamed bytes
+are nibble-packed int4 (half the traffic), sign-extended on the VPU after
+each wait.
+
+Reference parity anchor: the double-duty-warps smem load of
+cpp/int8conv/conv2DForward3x3TensorCores.cuh:599-634 (load-compute overlap
+inside one kernel), re-expressed as TPU async DMA.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lowbitdnn_project_tpu.kernels.matmul_w4a8 import (
+    _unpack_rows as unpack_nib,
+)
+from lowbitdnn_project_tpu.kernels.resident_chain import _pack_rows
+from lowbitdnn_project_tpu.kernels.stage_resident import (
+    ResidentMeta, resident_live_mask,
+)
+
+
+def _ds_stream_kernel(xf_ref, w1_ref, w2a_ref, w2b_ref, w3_ref, wp_ref,
+                      s1_ref, b1_ref, s2_ref, b2_ref, s3_ref, b3_ref,
+                      sp_ref, bp_ref, sc_ref, mask_ref, out_ref,
+                      xs, h1f, w1v, w2av, w2bv, w3v, wpv, sems,
+                      g8, bm, cin, cmid, meta, out_meta, packed):
+    # start every weight copy up front, in use order (the DMA engine
+    # drains them while the VPU packs rows / the MXU runs conv1-2)
+    dmas = [pltpu.make_async_copy(src, dst, sems.at[i])
+            for i, (src, dst) in enumerate(
+                [(w1_ref, w1v), (w2a_ref, w2av), (w2b_ref, w2bv),
+                 (w3_ref, w3v), (wp_ref, wpv)])]
+    for d in dmas:
+        d.start()
+
+    _pack_rows(xs, xf_ref, meta)        # overlaps the in-flight copies
+    live = mask_ref[:] != 0
+
+    dmas[0].wait()
+    w1 = unpack_nib(w1v[:]) if packed else w1v[:]
+    for half in (0, 1):
+        acc1 = jnp.dot(xs[:, half * cin:(half + 1) * cin], w1,
+                       preferred_element_type=jnp.int32)
+        h1 = jnp.maximum(acc1.astype(jnp.float32) * s1_ref[:] + b1_ref[:],
+                         0.0)
+        q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[0])), -127.0, 127.0)
+        h1f[:, half * cmid:(half + 1) * cmid] = jnp.where(
+            live, q1, 0.0).astype(jnp.int8)
+
+    dmas[1].wait()
+    dmas[2].wait()
+    acc2 = None
+    step_a = cmid if packed else 2 * cmid
+    step_b = cmid // 2 if packed else cmid
+    for t, dy in enumerate((-1, 0, 1)):
+        off = dy * meta.pitch
+        wa = w2av[t * step_a:(t + 1) * step_a, :]
+        wb = w2bv[t * step_b:(t + 1) * step_b, :]
+        if packed:
+            wa, wb = unpack_nib(wa), unpack_nib(wb)
+        da = jnp.dot(h1f[g8 + off:g8 + off + bm, :], wa,
+                     preferred_element_type=jnp.int32)
+        db = jnp.dot(h1f[g8 + off - 1:g8 + off - 1 + bm, cmid:], wb,
+                     preferred_element_type=jnp.int32)
+        d = da + db
+        acc2 = d if acc2 is None else acc2 + d
+    h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:], 0.0)
+    y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[1])), -127.0, 127.0
+                  ).astype(jnp.int8)
+
+    dmas[3].wait()
+    w3 = unpack_nib(w3v[:]) if packed else w3v[:]
+    acc3 = jnp.dot(y2, w3, preferred_element_type=jnp.int32)
+    h3 = acc3.astype(jnp.float32) * s3_ref[:] + b3_ref[:]
+    dmas[4].wait()
+    wp = unpack_nib(wpv[:]) if packed else wpv[:]
+    accp = jnp.dot(xs[g8:g8 + bm, :cin], wp,
+                   preferred_element_type=jnp.int32)
+    proj = accp.astype(jnp.float32) * sp_ref[:] + bp_ref[:]
+    out = jnp.maximum(h3 + proj, 0.0)
+    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[2])),
+                 -127.0, 127.0).astype(jnp.int8)
+    for img in range(out_meta.n):
+        for hh in range(out_meta.h):
+            r = meta.g8 + img * meta.seg + (2 * hh) * meta.pitch - g8
+            out_ref[img, hh] = q[r:r + out_meta.w, :]
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "out_meta", "packed",
+                                             "interpret"))
+def block_ds_resident_stream(
+    xf: jax.Array,               # (N, H, W/2, 2*Cin) int8, fold_w output
+    w1: jax.Array,               # (Cin, Cmid) int8 | (Cin/2, Cmid) uint8
+    w2a: jax.Array,              # (3*2*Cmid, Cmid) | (3*Cmid, Cmid) packed
+    w2b: jax.Array,              # (3*Cmid, Cmid) | (3*Cmid/2, Cmid) packed
+    w3: jax.Array,               # (Cmid, Cout) | (Cmid/2, Cout) packed
+    wp: jax.Array,               # (Cin, Cout) | (Cin/2, Cout) packed
+    s1, b1, s2, b2, s3, b3, sp, bp,
+    chain_scales: jax.Array,     # (3,) [y1s, y2s, out_s]
+    *,
+    meta: ResidentMeta,          # FOLDED geometry: (n, h, w//2)
+    out_meta: ResidentMeta,      # output geometry: (n, h//2, w//2)
+    packed: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """block_ds_resident with weights DMA-streamed from HBM in use order
+    (overlapping the row-pack + conv1/conv2 compute). packed=True streams
+    nibble-packed int4 bytes (kernels/resident_w4a8.py layouts)."""
+    n, h, w2v, cin2 = xf.shape
+    cin = cin2 // 2
+    cmid = w2a.shape[1]
+    cout = w3.shape[1]
+    g8, bm = meta.g8, meta.u - 2 * meta.g8
+    mask = jnp.asarray(resident_live_mask(meta))
+    vm = pltpu.VMEM
+    anyspace = pl.BlockSpec(memory_space=pltpu.ANY)
+    full = pl.BlockSpec(memory_space=vm)
+    kernel = functools.partial(_ds_stream_kernel, g8=g8, bm=bm, cin=cin,
+                               cmid=cmid, meta=meta, out_meta=out_meta,
+                               packed=packed)
+    scratch = [
+        pltpu.VMEM((meta.u, 2 * cin), jnp.int8),
+        pltpu.VMEM((meta.u, 2 * cmid), jnp.int8),
+        pltpu.VMEM(w1.shape, w1.dtype),
+        pltpu.VMEM(w2a.shape, w2a.dtype),
+        pltpu.VMEM(w2b.shape, w2b.dtype),
+        pltpu.VMEM(w3.shape, w3.dtype),
+        pltpu.VMEM(wp.shape, wp.dtype),
+        pltpu.SemaphoreType.DMA((5,)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        in_specs=[full] + [anyspace] * 5 + [full] * 8
+        + [pl.BlockSpec(memory_space=pltpu.SMEM), full],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct(
+            (out_meta.n, out_meta.h, out_meta.w, cout), jnp.int8),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xf, w1, w2a, w2b, w3, wp, s1, b1, s2, b2, s3, b3, sp, bp,
+      jnp.asarray(chain_scales, jnp.float32).reshape(3), mask)

@@ -360,7 +360,7 @@ def apply_serving_resident_w4(qparams: Dict[str, Any], x, act_scales,
     return _resident_head(qparams, vals, out_scale, s, interpret=interpret)
 
 
-ENTRY_STATIC_W4 = ("stride", "cin", "cmid", "cout", "w4")
+ENTRY_STATIC_W4 = ("stride", "cin", "cmid", "cout", "w4", "stream")
 STAGE_STATIC_W4 = ("nblk", "first", "folded", "w4")
 
 

@@ -162,3 +162,23 @@ def test_apply_partial_resident_matches_chain(rng):
         assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all(), start
         rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
         assert rel < 0.1, (start, rel)
+
+
+def test_apply_resident_with_streamed_ds(rng):
+    """mark_stream routing: the full resident forward with DMA-streamed
+    downsample blocks matches the plain resident forward bit-exactly."""
+    from lowbitdnn_project_tpu.kernels.resident_chain import mark_stream
+
+    cfg = resnet.RESNET50
+    params = resnet.init_params(jax.random.key(3), cfg)
+    qp8 = resnet.quantize_params(params, cfg)
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_cache.json")
+    with open(path) as f:
+        scales = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in json.load(f)["act_scales"].items()}
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+    pack = pack_resident_chain(qp8, scales, cfg)
+    ref = apply_serving_resident(qp8, x, scales, cfg, pack, interpret=True)
+    got = apply_serving_resident(qp8, x, scales, cfg, mark_stream(pack),
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

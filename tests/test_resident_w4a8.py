@@ -101,3 +101,42 @@ def test_apply_serving_resident_w4_matches_chain(rng):
     assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 0.1, rel
+
+
+def test_ds_stream_bit_identical(rng):
+    """The DMA-streamed ds kernel (both packed and unpacked) matches the
+    plain resident ds kernel bit-exactly."""
+    from lowbitdnn_project_tpu.kernels.resident_stream import (
+        block_ds_resident_stream)
+
+    h, cin, cmid, cout = 8, 128, 128, 256
+    keys = jax.random.split(jax.random.key(21), 8)
+    x = jax.random.randint(keys[0], (1, h, h, cin), -127, 128, jnp.int8)
+    w1 = _rand_int4(keys[1], (cin, cmid))
+    w2a = _rand_int4(keys[2], (3 * 2 * cmid, cmid))
+    w2b = _rand_int4(keys[3], (3 * cmid, cmid))
+    w3 = _rand_int4(keys[4], (cmid, cout))
+    wp = _rand_int4(keys[5], (cin, cout))
+    row = lambda v, nn: jnp.full((1, nn), v, jnp.float32)
+    zr = lambda nn: jnp.zeros((1, nn), jnp.float32)
+    args = (row(0.01, cmid), zr(cmid), row(0.01, cmid), zr(cmid),
+            row(0.02, cout), zr(cout), row(0.02, cout), zr(cout),
+            jnp.asarray([0.09, 0.12, 0.07], jnp.float32))
+    mf = resident_meta(1, h, h // 2)
+    mo = resident_meta(1, h // 2, h // 2)
+    xf = fold_w(x)
+    ref = block_ds_resident(xf, w1, w2a, w2b, w3, wp, *args,
+                            meta=mf, out_meta=mo, interpret=True)
+    got_u = block_ds_resident_stream(
+        xf, w1, w2a, w2b, w3, wp, *args, meta=mf, out_meta=mo,
+        packed=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(ref))
+    got_p = block_ds_resident_stream(
+        xf,
+        pack_int4_rows(w1, block_k=cin),
+        pack_int4_rows(w2a, block_k=2 * cmid),
+        pack_int4_rows(w2b, block_k=cmid),
+        pack_int4_rows(w3, block_k=cmid),
+        pack_int4_rows(wp, block_k=cin),
+        *args, meta=mf, out_meta=mo, packed=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref))
