@@ -84,21 +84,33 @@ def _unpack_rows(dst_ref, src, meta: ResidentMeta, src_off: int = 0):
             dst_ref[img, hh] = src[r:r + meta.w, :]
 
 
-def _conv2_acc(y1, w2_ref, patches, offsets, g8, bm, cmid, single_dot):
+CHUNK = 2048  # row-chunk bound: int32 accumulators stay ~chunk*lanes*4 B
+# (b1 geometries are under one chunk -> identical code; the bound is what
+# lets the SAME kernels carry b4/b8 partial-resident maps within VMEM)
+
+
+def _chunks(lo, hi, step=None):
+    """Static [lo, hi) row chunks; lo and step are 8-aligned."""
+    step = step or CHUNK   # read at call time (tests shrink CHUNK)
+    return [(r, min(r + step, hi)) for r in range(lo, hi, step)]
+
+
+def _conv2_acc(y1, w2_ref, patches, offsets, r0, n, cmid, single_dot):
     """3x3 tap accumulation on a flat y1 scratch; taps are row offsets.
 
-    single_dot builds a (bm, 9*cmid) patch scratch (9 shifted copies) and
-    contracts K=9*cmid at once — at cmid=64 the per-tap K=64 GEMMs starve
-    the int8 MXU pipeline, the deep contraction does not."""
+    Covers rows [r0, r0+n). single_dot builds a (n, 9*cmid) patch scratch
+    (9 shifted copies) and contracts K=9*cmid at once — at cmid=64 the
+    per-tap K=64 GEMMs starve the int8 MXU pipeline, the deep contraction
+    does not."""
     if single_dot:
         for t, off in enumerate(offsets):
             patches[:, t * cmid:(t + 1) * cmid] = \
-                y1[g8 + off:g8 + off + bm, :]
+                y1[r0 + off:r0 + off + n, :]
         return jnp.dot(patches[:], w2_ref[:],
                        preferred_element_type=jnp.int32)
     acc2 = None
     for t, off in enumerate(offsets):
-        d = jnp.dot(y1[g8 + off:g8 + off + bm, :],
+        d = jnp.dot(y1[r0 + off:r0 + off + n, :],
                     w2_ref[t * cmid:(t + 1) * cmid, :],
                     preferred_element_type=jnp.int32)
         acc2 = d if acc2 is None else acc2 + d
@@ -182,21 +194,23 @@ def block_proj_resident(
 def _ds_kernel(xf_ref, w1_ref, w2a_ref, w2b_ref, w3_ref, wp_ref,
                s1_ref, b1_ref, s2_ref, b2_ref, s3_ref, b3_ref,
                sp_ref, bp_ref, sc_ref, mask_ref, out_ref,
-               xs, h1f,
+               xs, h1f, qbuf,
                g8, bm, cin, cmid, meta, out_meta):
     # pack the folded (N, H, W/2, 2C) input into flat pitched rows
     _pack_rows(xs, xf_ref, meta)
-    live = mask_ref[:] != 0
 
-    # conv1 (1x1) per W-parity half into the two lane halves of h1f
+    # conv1 (1x1) per W-parity half into the two lane halves of h1f;
+    # row-chunked so the int32 accumulator stays ~CHUNK*cmid*4 B (b1
+    # geometries fit one chunk; b4/b8 partial-resident maps need several)
     for half in (0, 1):
-        acc1 = jnp.dot(xs[:, half * cin:(half + 1) * cin], w1_ref[:],
-                       preferred_element_type=jnp.int32)
-        h1 = jnp.maximum(acc1.astype(jnp.float32) * s1_ref[:] + b1_ref[:],
-                         0.0)
-        q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[0])), -127.0, 127.0)
-        h1f[:, half * cmid:(half + 1) * cmid] = jnp.where(
-            live, q1, 0.0).astype(jnp.int8)
+        for r0, r1 in _chunks(0, meta.u):
+            acc1 = jnp.dot(xs[r0:r1, half * cin:(half + 1) * cin],
+                           w1_ref[:], preferred_element_type=jnp.int32)
+            h1 = jnp.maximum(
+                acc1.astype(jnp.float32) * s1_ref[:] + b1_ref[:], 0.0)
+            q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[0])), -127.0, 127.0)
+            h1f[r0:r1, half * cmid:(half + 1) * cmid] = jnp.where(
+                mask_ref[r0:r1] != 0, q1, 0.0).astype(jnp.int8)
 
     # conv2 (3x3 s2) on the folded layout: tap (dy, dx) ->
     #   dx=0  -> lanes [:cmid]   of folded col j    (row offset dy*pitch)
@@ -204,35 +218,39 @@ def _ds_kernel(xf_ref, w1_ref, w2a_ref, w2b_ref, w3_ref, wp_ref,
     #   dx=-1 -> lanes [cmid:]   of folded col j-1  (row offset dy*pitch-1)
     # computed at ALL folded rows (odd output rows are discarded at unpack;
     # 2x H compute waste is microseconds at batch-1 sizes)
-    acc2 = None
-    for t, dy in enumerate((-1, 0, 1)):
-        off = dy * meta.pitch
-        da = jnp.dot(h1f[g8 + off:g8 + off + bm, :],
-                     w2a_ref[t * 2 * cmid:(t + 1) * 2 * cmid, :],
-                     preferred_element_type=jnp.int32)
-        db = jnp.dot(h1f[g8 + off - 1:g8 + off - 1 + bm, cmid:],
-                     w2b_ref[t * cmid:(t + 1) * cmid, :],
-                     preferred_element_type=jnp.int32)
-        d = da + db
-        acc2 = d if acc2 is None else acc2 + d
-    h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:], 0.0)
-    y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[1])), -127.0, 127.0
-                  ).astype(jnp.int8)
+    for r0, r1 in _chunks(g8, g8 + bm):
+        n = r1 - r0
+        acc2 = None
+        for t, dy in enumerate((-1, 0, 1)):
+            off = dy * meta.pitch
+            da = jnp.dot(h1f[r0 + off:r0 + off + n, :],
+                         w2a_ref[t * 2 * cmid:(t + 1) * 2 * cmid, :],
+                         preferred_element_type=jnp.int32)
+            db = jnp.dot(h1f[r0 + off - 1:r0 + off - 1 + n, cmid:],
+                         w2b_ref[t * cmid:(t + 1) * cmid, :],
+                         preferred_element_type=jnp.int32)
+            d = da + db
+            acc2 = d if acc2 is None else acc2 + d
+        h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:],
+                         0.0)
+        y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[1])), -127.0, 127.0
+                      ).astype(jnp.int8)
 
-    # conv3 + projection (1x1 s2 == lanes [:cin] of the folded input)
-    acc3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.int32)
-    h3 = acc3.astype(jnp.float32) * s3_ref[:] + b3_ref[:]
-    accp = jnp.dot(xs[g8:g8 + bm, :cin], wp_ref[:],
-                   preferred_element_type=jnp.int32)
-    proj = accp.astype(jnp.float32) * sp_ref[:] + bp_ref[:]
-    out = jnp.maximum(h3 + proj, 0.0)
-    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[2])),
-                 -127.0, 127.0).astype(jnp.int8)
+        # conv3 + projection (1x1 s2 == lanes [:cin] of the folded input)
+        acc3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.int32)
+        h3 = acc3.astype(jnp.float32) * s3_ref[:] + b3_ref[:]
+        accp = jnp.dot(xs[r0:r1, :cin], wp_ref[:],
+                       preferred_element_type=jnp.int32)
+        proj = accp.astype(jnp.float32) * sp_ref[:] + bp_ref[:]
+        out = jnp.maximum(h3 + proj, 0.0)
+        qbuf[r0 - g8:r1 - g8, :] = jnp.clip(
+            jnp.round(out * (1.0 / sc_ref[2])), -127.0, 127.0
+        ).astype(jnp.int8)
     # unpack: output row hh <- folded row 2*hh (static picks drop odd rows)
     for img in range(out_meta.n):
         for hh in range(out_meta.h):
             r = meta.g8 + img * meta.seg + (2 * hh) * meta.pitch - g8
-            out_ref[img, hh] = q[r:r + out_meta.w, :]
+            out_ref[img, hh] = qbuf[r:r + out_meta.w, :]
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "out_meta", "interpret"))
@@ -264,7 +282,8 @@ def block_ds_resident(
     kernel = functools.partial(_ds_kernel, g8=g8, bm=bm, cin=cin,
                                cmid=cmid, meta=meta, out_meta=out_meta)
     scratch = [pltpu.VMEM((meta.u, 2 * cin), jnp.int8),
-               pltpu.VMEM((meta.u, 2 * cmid), jnp.int8)]
+               pltpu.VMEM((meta.u, 2 * cmid), jnp.int8),
+               pltpu.VMEM((bm, cout), jnp.int8)]
     return pl.pallas_call(
         kernel,
         in_specs=[full] * 14 + [pl.BlockSpec(memory_space=pltpu.SMEM), full],
@@ -290,25 +309,35 @@ def _stage_kernel(x_ref, w1_ref, w2_ref, w3_ref,
     def _seed():
         _pack_rows(carry, x_ref, meta)
 
-    x = carry[:]
-    acc1 = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.int32)
-    h1 = jnp.maximum(acc1.astype(jnp.float32) * s1_ref[0] + b1_ref[0], 0.0)
-    q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[i, 0])), -127.0, 127.0)
-    y1_ref[:] = jnp.where(mask_ref[:] != 0, q1, 0.0).astype(jnp.int8)
+    # conv1 on ALL rows (conv2 needs the halo), row-chunked (int32
+    # accumulators stay ~CHUNK*cmid*4 B — what lets the same kernel carry
+    # b4/b8 partial-resident maps; b1 geometries are one chunk)
+    for r0, r1 in _chunks(0, meta.u):
+        acc1 = jnp.dot(carry[r0:r1, :], w1_ref[:],
+                       preferred_element_type=jnp.int32)
+        h1 = jnp.maximum(
+            acc1.astype(jnp.float32) * s1_ref[0] + b1_ref[0], 0.0)
+        q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[i, 0])), -127.0, 127.0)
+        y1_ref[r0:r1, :] = jnp.where(mask_ref[r0:r1] != 0, q1,
+                                     0.0).astype(jnp.int8)
 
-    acc2 = _conv2_acc(y1_ref, w2_ref, patches, offsets, g8, bm, cmid,
-                      single_dot)
-    h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[0] + b2_ref[0], 0.0)
-    y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[i, 1])), -127.0, 127.0
-                  ).astype(jnp.int8)
+    body = ([(g8, g8 + bm)] if single_dot else _chunks(g8, g8 + bm))
+    for r0, r1 in body:
+        n = r1 - r0
+        acc2 = _conv2_acc(y1_ref, w2_ref, patches, offsets, r0, n, cmid,
+                          single_dot)
+        h2 = jnp.maximum(
+            acc2.astype(jnp.float32) * s2_ref[0] + b2_ref[0], 0.0)
+        y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[i, 1])), -127.0, 127.0
+                      ).astype(jnp.int8)
 
-    acc3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.int32)
-    h3 = acc3.astype(jnp.float32) * s3_ref[0] + b3_ref[0]
-    identity = x[g8:g8 + bm, :].astype(jnp.float32) * sc_ref[i, 2]
-    out = jnp.maximum(h3 + identity, 0.0)
-    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[i, 3])), -127.0, 127.0)
-    carry[g8:g8 + bm, :] = jnp.where(
-        mask_ref[g8:g8 + bm, :] != 0, q, 0.0).astype(jnp.int8)
+        acc3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.int32)
+        h3 = acc3.astype(jnp.float32) * s3_ref[0] + b3_ref[0]
+        identity = carry[r0:r1, :].astype(jnp.float32) * sc_ref[i, 2]
+        out = jnp.maximum(h3 + identity, 0.0)
+        q = jnp.clip(jnp.round(out * (1.0 / sc_ref[i, 3])), -127.0, 127.0)
+        carry[r0:r1, :] = jnp.where(
+            mask_ref[r0:r1, :] != 0, q, 0.0).astype(jnp.int8)
 
     @pl.when(i == nblk - 1)
     def _emit():

@@ -40,8 +40,10 @@ from lowbitdnn_project_tpu.kernels.stage_resident import (
 def _ds_stream_kernel(xf_ref, w1_ref, w2a_ref, w2b_ref, w3_ref, wp_ref,
                       s1_ref, b1_ref, s2_ref, b2_ref, s3_ref, b3_ref,
                       sp_ref, bp_ref, sc_ref, mask_ref, out_ref,
-                      xs, h1f, w1v, w2av, w2bv, w3v, wpv, sems,
+                      xs, h1f, qbuf, w1v, w2av, w2bv, w3v, wpv, sems,
                       g8, bm, cin, cmid, meta, out_meta, packed):
+    from lowbitdnn_project_tpu.kernels.resident_chain import _chunks
+
     # start every weight copy up front, in use order (the DMA engine
     # drains them while the VPU packs rows / the MXU runs conv1-2)
     dmas = [pltpu.make_async_copy(src, dst, sems.at[i])
@@ -52,56 +54,67 @@ def _ds_stream_kernel(xf_ref, w1_ref, w2a_ref, w2b_ref, w3_ref, wp_ref,
         d.start()
 
     _pack_rows(xs, xf_ref, meta)        # overlaps the in-flight copies
-    live = mask_ref[:] != 0
 
     dmas[0].wait()
     w1 = unpack_nib(w1v[:]) if packed else w1v[:]
     for half in (0, 1):
-        acc1 = jnp.dot(xs[:, half * cin:(half + 1) * cin], w1,
-                       preferred_element_type=jnp.int32)
-        h1 = jnp.maximum(acc1.astype(jnp.float32) * s1_ref[:] + b1_ref[:],
-                         0.0)
-        q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[0])), -127.0, 127.0)
-        h1f[:, half * cmid:(half + 1) * cmid] = jnp.where(
-            live, q1, 0.0).astype(jnp.int8)
+        for r0, r1 in _chunks(0, meta.u):
+            acc1 = jnp.dot(xs[r0:r1, half * cin:(half + 1) * cin], w1,
+                           preferred_element_type=jnp.int32)
+            h1 = jnp.maximum(
+                acc1.astype(jnp.float32) * s1_ref[:] + b1_ref[:], 0.0)
+            q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[0])), -127.0, 127.0)
+            h1f[r0:r1, half * cmid:(half + 1) * cmid] = jnp.where(
+                mask_ref[r0:r1] != 0, q1, 0.0).astype(jnp.int8)
 
     dmas[1].wait()
     dmas[2].wait()
-    acc2 = None
     step_a = cmid if packed else 2 * cmid
     step_b = cmid // 2 if packed else cmid
-    for t, dy in enumerate((-1, 0, 1)):
-        off = dy * meta.pitch
+    was, wbs = [], []
+    for t in range(3):
         wa = w2av[t * step_a:(t + 1) * step_a, :]
         wb = w2bv[t * step_b:(t + 1) * step_b, :]
         if packed:
             wa, wb = unpack_nib(wa), unpack_nib(wb)
-        da = jnp.dot(h1f[g8 + off:g8 + off + bm, :], wa,
-                     preferred_element_type=jnp.int32)
-        db = jnp.dot(h1f[g8 + off - 1:g8 + off - 1 + bm, cmid:], wb,
-                     preferred_element_type=jnp.int32)
-        d = da + db
-        acc2 = d if acc2 is None else acc2 + d
-    h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:], 0.0)
-    y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[1])), -127.0, 127.0
-                  ).astype(jnp.int8)
+        was.append(wa)
+        wbs.append(wb)
+    w3 = wp = None
+    for r0, r1 in _chunks(g8, g8 + bm):
+        n = r1 - r0
+        acc2 = None
+        for t, dy in enumerate((-1, 0, 1)):
+            off = dy * meta.pitch
+            da = jnp.dot(h1f[r0 + off:r0 + off + n, :], was[t],
+                         preferred_element_type=jnp.int32)
+            db = jnp.dot(h1f[r0 + off - 1:r0 + off - 1 + n, cmid:], wbs[t],
+                         preferred_element_type=jnp.int32)
+            d = da + db
+            acc2 = d if acc2 is None else acc2 + d
+        h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:],
+                         0.0)
+        y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[1])), -127.0, 127.0
+                      ).astype(jnp.int8)
+        if w3 is None:
+            # lazy wait: conv2 of the first chunk overlaps the w3/wp tail
+            dmas[3].wait()
+            w3 = unpack_nib(w3v[:]) if packed else w3v[:]
+            dmas[4].wait()
+            wp = unpack_nib(wpv[:]) if packed else wpv[:]
 
-    dmas[3].wait()
-    w3 = unpack_nib(w3v[:]) if packed else w3v[:]
-    acc3 = jnp.dot(y2, w3, preferred_element_type=jnp.int32)
-    h3 = acc3.astype(jnp.float32) * s3_ref[:] + b3_ref[:]
-    dmas[4].wait()
-    wp = unpack_nib(wpv[:]) if packed else wpv[:]
-    accp = jnp.dot(xs[g8:g8 + bm, :cin], wp,
-                   preferred_element_type=jnp.int32)
-    proj = accp.astype(jnp.float32) * sp_ref[:] + bp_ref[:]
-    out = jnp.maximum(h3 + proj, 0.0)
-    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[2])),
-                 -127.0, 127.0).astype(jnp.int8)
+        acc3 = jnp.dot(y2, w3, preferred_element_type=jnp.int32)
+        h3 = acc3.astype(jnp.float32) * s3_ref[:] + b3_ref[:]
+        accp = jnp.dot(xs[r0:r1, :cin], wp,
+                       preferred_element_type=jnp.int32)
+        proj = accp.astype(jnp.float32) * sp_ref[:] + bp_ref[:]
+        out = jnp.maximum(h3 + proj, 0.0)
+        qbuf[r0 - g8:r1 - g8, :] = jnp.clip(
+            jnp.round(out * (1.0 / sc_ref[2])), -127.0, 127.0
+        ).astype(jnp.int8)
     for img in range(out_meta.n):
         for hh in range(out_meta.h):
             r = meta.g8 + img * meta.seg + (2 * hh) * meta.pitch - g8
-            out_ref[img, hh] = q[r:r + out_meta.w, :]
+            out_ref[img, hh] = qbuf[r:r + out_meta.w, :]
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "out_meta", "packed",
@@ -139,6 +152,7 @@ def block_ds_resident_stream(
     scratch = [
         pltpu.VMEM((meta.u, 2 * cin), jnp.int8),
         pltpu.VMEM((meta.u, 2 * cmid), jnp.int8),
+        pltpu.VMEM((bm, cout), jnp.int8),
         pltpu.VMEM(w1.shape, w1.dtype),
         pltpu.VMEM(w2a.shape, w2a.dtype),
         pltpu.VMEM(w2b.shape, w2b.dtype),

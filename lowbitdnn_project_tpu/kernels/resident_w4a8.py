@@ -77,32 +77,41 @@ def _stage_kernel_w4(x_ref, w1_ref, w2_ref, w3_ref,
     def _seed():
         _pack_rows(carry, x_ref, meta)
 
-    x = carry[:]
-    acc1 = jnp.dot(x, unpack_nib(w1_ref[:]),
-                   preferred_element_type=jnp.int32)
-    h1 = jnp.maximum(acc1.astype(jnp.float32) * s1_ref[0] + b1_ref[0], 0.0)
-    q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[i, 0])), -127.0, 127.0)
-    y1_ref[:] = jnp.where(mask_ref[:] != 0, q1, 0.0).astype(jnp.int8)
+    from lowbitdnn_project_tpu.kernels.resident_chain import _chunks
+
+    w1 = unpack_nib(w1_ref[:])
+    for r0, r1 in _chunks(0, meta.u):
+        acc1 = jnp.dot(carry[r0:r1, :], w1,
+                       preferred_element_type=jnp.int32)
+        h1 = jnp.maximum(
+            acc1.astype(jnp.float32) * s1_ref[0] + b1_ref[0], 0.0)
+        q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[i, 0])), -127.0, 127.0)
+        y1_ref[r0:r1, :] = jnp.where(mask_ref[r0:r1] != 0, q1,
+                                     0.0).astype(jnp.int8)
 
     ch = cmid // 2
-    acc2 = None
-    for t, off in enumerate(offsets):
-        wt = unpack_nib(w2_ref[t * ch:(t + 1) * ch, :])
-        d = jnp.dot(y1_ref[g8 + off:g8 + off + bm, :], wt,
-                    preferred_element_type=jnp.int32)
-        acc2 = d if acc2 is None else acc2 + d
-    h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[0] + b2_ref[0], 0.0)
-    y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[i, 1])), -127.0, 127.0
-                  ).astype(jnp.int8)
+    w3 = unpack_nib(w3_ref[:])
+    taps = [unpack_nib(w2_ref[t * ch:(t + 1) * ch, :])
+            for t in range(9)]
+    for r0, r1 in _chunks(g8, g8 + bm):
+        n = r1 - r0
+        acc2 = None
+        for t, off in enumerate(offsets):
+            d = jnp.dot(y1_ref[r0 + off:r0 + off + n, :], taps[t],
+                        preferred_element_type=jnp.int32)
+            acc2 = d if acc2 is None else acc2 + d
+        h2 = jnp.maximum(
+            acc2.astype(jnp.float32) * s2_ref[0] + b2_ref[0], 0.0)
+        y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[i, 1])), -127.0, 127.0
+                      ).astype(jnp.int8)
 
-    acc3 = jnp.dot(y2, unpack_nib(w3_ref[:]),
-                   preferred_element_type=jnp.int32)
-    h3 = acc3.astype(jnp.float32) * s3_ref[0] + b3_ref[0]
-    identity = x[g8:g8 + bm, :].astype(jnp.float32) * sc_ref[i, 2]
-    out = jnp.maximum(h3 + identity, 0.0)
-    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[i, 3])), -127.0, 127.0)
-    carry[g8:g8 + bm, :] = jnp.where(
-        mask_ref[g8:g8 + bm, :] != 0, q, 0.0).astype(jnp.int8)
+        acc3 = jnp.dot(y2, w3, preferred_element_type=jnp.int32)
+        h3 = acc3.astype(jnp.float32) * s3_ref[0] + b3_ref[0]
+        identity = carry[r0:r1, :].astype(jnp.float32) * sc_ref[i, 2]
+        out = jnp.maximum(h3 + identity, 0.0)
+        q = jnp.clip(jnp.round(out * (1.0 / sc_ref[i, 3])), -127.0, 127.0)
+        carry[r0:r1, :] = jnp.where(
+            mask_ref[r0:r1, :] != 0, q, 0.0).astype(jnp.int8)
 
     @pl.when(i == nblk - 1)
     def _emit():
@@ -180,50 +189,58 @@ def stage_nhwc_resident_w4(
 def _ds_kernel_w4(xf_ref, w1_ref, w2a_ref, w2b_ref, w3_ref, wp_ref,
                   s1_ref, b1_ref, s2_ref, b2_ref, s3_ref, b3_ref,
                   sp_ref, bp_ref, sc_ref, mask_ref, out_ref,
-                  xs, h1f,
+                  xs, h1f, qbuf,
                   g8, bm, cin, cmid, meta, out_meta):
+    from lowbitdnn_project_tpu.kernels.resident_chain import _chunks
+
     _pack_rows(xs, xf_ref, meta)
-    live = mask_ref[:] != 0
 
     w1 = unpack_nib(w1_ref[:])
     for half in (0, 1):
-        acc1 = jnp.dot(xs[:, half * cin:(half + 1) * cin], w1,
-                       preferred_element_type=jnp.int32)
-        h1 = jnp.maximum(acc1.astype(jnp.float32) * s1_ref[:] + b1_ref[:],
-                         0.0)
-        q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[0])), -127.0, 127.0)
-        h1f[:, half * cmid:(half + 1) * cmid] = jnp.where(
-            live, q1, 0.0).astype(jnp.int8)
+        for r0, r1 in _chunks(0, meta.u):
+            acc1 = jnp.dot(xs[r0:r1, half * cin:(half + 1) * cin], w1,
+                           preferred_element_type=jnp.int32)
+            h1 = jnp.maximum(
+                acc1.astype(jnp.float32) * s1_ref[:] + b1_ref[:], 0.0)
+            q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[0])), -127.0, 127.0)
+            h1f[r0:r1, half * cmid:(half + 1) * cmid] = jnp.where(
+                mask_ref[r0:r1] != 0, q1, 0.0).astype(jnp.int8)
 
-    acc2 = None
     ch = cmid // 2
-    for t, dy in enumerate((-1, 0, 1)):
-        off = dy * meta.pitch
-        wa = unpack_nib(w2a_ref[t * cmid:(t + 1) * cmid, :])
-        da = jnp.dot(h1f[g8 + off:g8 + off + bm, :], wa,
-                     preferred_element_type=jnp.int32)
-        wb = unpack_nib(w2b_ref[t * ch:(t + 1) * ch, :])
-        db = jnp.dot(h1f[g8 + off - 1:g8 + off - 1 + bm, cmid:], wb,
-                     preferred_element_type=jnp.int32)
-        d = da + db
-        acc2 = d if acc2 is None else acc2 + d
-    h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:], 0.0)
-    y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[1])), -127.0, 127.0
-                  ).astype(jnp.int8)
+    was = [unpack_nib(w2a_ref[t * cmid:(t + 1) * cmid, :])
+           for t in range(3)]
+    wbs = [unpack_nib(w2b_ref[t * ch:(t + 1) * ch, :]) for t in range(3)]
+    w3 = unpack_nib(w3_ref[:])
+    wp = unpack_nib(wp_ref[:])
+    for r0, r1 in _chunks(g8, g8 + bm):
+        n = r1 - r0
+        acc2 = None
+        for t, dy in enumerate((-1, 0, 1)):
+            off = dy * meta.pitch
+            da = jnp.dot(h1f[r0 + off:r0 + off + n, :], was[t],
+                         preferred_element_type=jnp.int32)
+            db = jnp.dot(h1f[r0 + off - 1:r0 + off - 1 + n, cmid:], wbs[t],
+                         preferred_element_type=jnp.int32)
+            d = da + db
+            acc2 = d if acc2 is None else acc2 + d
+        h2 = jnp.maximum(acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:],
+                         0.0)
+        y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[1])), -127.0, 127.0
+                      ).astype(jnp.int8)
 
-    acc3 = jnp.dot(y2, unpack_nib(w3_ref[:]),
-                   preferred_element_type=jnp.int32)
-    h3 = acc3.astype(jnp.float32) * s3_ref[:] + b3_ref[:]
-    accp = jnp.dot(xs[g8:g8 + bm, :cin], unpack_nib(wp_ref[:]),
-                   preferred_element_type=jnp.int32)
-    proj = accp.astype(jnp.float32) * sp_ref[:] + bp_ref[:]
-    out = jnp.maximum(h3 + proj, 0.0)
-    q = jnp.clip(jnp.round(out * (1.0 / sc_ref[2])),
-                 -127.0, 127.0).astype(jnp.int8)
+        acc3 = jnp.dot(y2, w3, preferred_element_type=jnp.int32)
+        h3 = acc3.astype(jnp.float32) * s3_ref[:] + b3_ref[:]
+        accp = jnp.dot(xs[r0:r1, :cin], wp,
+                       preferred_element_type=jnp.int32)
+        proj = accp.astype(jnp.float32) * sp_ref[:] + bp_ref[:]
+        out = jnp.maximum(h3 + proj, 0.0)
+        qbuf[r0 - g8:r1 - g8, :] = jnp.clip(
+            jnp.round(out * (1.0 / sc_ref[2])), -127.0, 127.0
+        ).astype(jnp.int8)
     for img in range(out_meta.n):
         for hh in range(out_meta.h):
             r = meta.g8 + img * meta.seg + (2 * hh) * meta.pitch - g8
-            out_ref[img, hh] = q[r:r + out_meta.w, :]
+            out_ref[img, hh] = qbuf[r:r + out_meta.w, :]
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "out_meta", "interpret"))
@@ -253,7 +270,8 @@ def block_ds_resident_w4(
     kernel = functools.partial(_ds_kernel_w4, g8=g8, bm=bm, cin=cin,
                                cmid=cmid, meta=meta, out_meta=out_meta)
     scratch = [pltpu.VMEM((meta.u, 2 * cin), jnp.int8),
-               pltpu.VMEM((meta.u, 2 * cmid), jnp.int8)]
+               pltpu.VMEM((meta.u, 2 * cmid), jnp.int8),
+               pltpu.VMEM((bm, cout), jnp.int8)]
     return pl.pallas_call(
         kernel,
         in_specs=[full] * 14 + [pl.BlockSpec(memory_space=pltpu.SMEM), full],

@@ -182,3 +182,35 @@ def test_apply_resident_with_streamed_ds(rng):
     got = apply_serving_resident(qp8, x, scales, cfg, mark_stream(pack),
                                  interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_ds_block_multi_chunk(rng, monkeypatch):
+    """Row-chunked ds kernel (CHUNK < bm, the b4/b8 VMEM regime) is
+    bit-identical to the single-chunk trace."""
+    import lowbitdnn_project_tpu.kernels.resident_chain as rc
+
+    h, cin, cmid, cout = 8, 128, 128, 256
+    keys = jax.random.split(jax.random.key(17), 6)
+    x = _rand_int8(keys[0], (1, h, h, cin))
+    w1 = _rand_int8(keys[1], (cin, cmid))
+    w2 = _rand_int8(keys[2], (3, 3, cmid, cmid))
+    w3 = _rand_int8(keys[3], (cmid, cout))
+    wp = _rand_int8(keys[4], (cin, cout))
+    w2a = jnp.concatenate([jnp.concatenate([w2[dy, 1], w2[dy, 2]])
+                           for dy in range(3)])
+    w2b = jnp.concatenate([w2[dy, 0] for dy in range(3)])
+    mf = resident_meta(1, h, h // 2)
+    mo = resident_meta(1, h // 2, h // 2)
+    row = lambda v, nn: jnp.full((1, nn), v, jnp.float32)
+    args = (row(0.01, cmid), row(0.0, cmid), row(0.01, cmid),
+            row(0.0, cmid), row(0.02, cout), row(0.0, cout),
+            row(0.02, cout), row(0.0, cout),
+            jnp.asarray([0.09, 0.12, 0.07], jnp.float32))
+    ref = block_ds_resident(fold_w(x), w1, w2a, w2b, w3, wp, *args,
+                            meta=mf, out_meta=mo, interpret=True)
+    monkeypatch.setattr(rc, "CHUNK", 16)   # mf.u ~ 60 rows -> 4+ chunks
+    jax.clear_caches()                     # drop the single-chunk trace
+    got = block_ds_resident(fold_w(x), w1, w2a, w2b, w3, wp, *args,
+                            meta=mf, out_meta=mo, interpret=True)
+    jax.clear_caches()                     # don't leak the tiny-chunk trace
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -220,6 +220,95 @@ def main():
     print(f"block_ds_resident: |delta|<=1 ok (n_diff {(dd > 0).sum()})",
           flush=True)
 
+    # --- round-4 kernels: W4A8/streamed ds twins + the MobileNet s2 block ---
+    from lowbitdnn_project_tpu.kernels.matmul_w4a8 import pack_int4_rows
+    from lowbitdnn_project_tpu.kernels.resident_stream import (
+        block_ds_resident_stream)
+    from lowbitdnn_project_tpu.kernels.resident_w4a8 import (
+        block_ds_resident_w4)
+
+    k4 = [jnp.asarray(rng.integers(-7, 8, a.shape), jnp.int8)
+          for a in (wd1, wd2, wd3, wdp)]
+    w41, w42, w43, w4p = k4
+    w2a4 = jnp.concatenate([jnp.concatenate([w42[dy, 1], w42[dy, 2]])
+                            for dy in range(3)])
+    w2b4 = jnp.concatenate([w42[dy, 0] for dy in range(3)])
+    dsargs = (rowf(sde), zc, rowf(sde), zc, rowf(sdo), zo, rowf(sdo), zo,
+              jnp.asarray([0.090137, 0.120219, 0.070111], jnp.float32))
+    mfd = resident_meta(1, hds, hds // 2)
+    mod_ = resident_meta(1, hds // 2, hds // 2)
+    ref4 = block_ds_resident(fold_w(xd), w41[0, 0], w2a4, w2b4, w43[0, 0],
+                             w4p[0, 0], *dsargs, meta=mfd, out_meta=mod_)
+    packed = (pack_int4_rows(w41[0, 0], block_k=cds),
+              pack_int4_rows(w2a4, block_k=2 * cds),
+              pack_int4_rows(w2b4, block_k=cds),
+              pack_int4_rows(w43[0, 0], block_k=cds),
+              pack_int4_rows(w4p[0, 0], block_k=cds))
+    got4 = block_ds_resident_w4(fold_w(xd), *packed, *dsargs,
+                                meta=mfd, out_meta=mod_)
+    assert (np.asarray(got4) == np.asarray(ref4)).all(), "w4 ds mismatch"
+    gots_u = block_ds_resident_stream(
+        fold_w(xd), w41[0, 0], w2a4, w2b4, w43[0, 0], w4p[0, 0], *dsargs,
+        meta=mfd, out_meta=mod_, packed=False)
+    gots_p = block_ds_resident_stream(
+        fold_w(xd), *packed, *dsargs, meta=mfd, out_meta=mod_, packed=True)
+    assert (np.asarray(gots_u) == np.asarray(ref4)).all(), "stream ds"
+    assert (np.asarray(gots_p) == np.asarray(ref4)).all(), "stream-w4 ds"
+    print("w4/streamed ds kernels: bit-identical on device", flush=True)
+
+    # MobileNet resident s2 block vs the conv oracle (|delta|<=1)
+    from lowbitdnn_project_tpu.kernels.mnv2_resident import (
+        mnv2_block_s2_resident)
+
+    cin_m, cmid_m, cmid_p, cout_m, hm = 16, 96, 128, 24, 8
+    xm = jnp.asarray(rng.integers(-5, 6, (1, hm, hm, cin_m)), jnp.int8)
+    wem = jnp.asarray(rng.integers(-5, 6, (cin_m, cmid_m)), jnp.int8)
+    wdm = jnp.asarray(rng.integers(-5, 6, (3, 3, cmid_m)), jnp.int8)
+    wpm = jnp.asarray(rng.integers(-5, 6, (cmid_m, cout_m)), jnp.int8)
+    sem, sdm, spm = 0.011, 0.013, 0.017
+    sdw_m, spj_m, so_m = 0.09, 0.12, 0.1
+    wdiag = jnp.zeros((3, 3, cmid_m, cmid_m), jnp.int8)
+    idxm = jnp.arange(cmid_m)
+    wdiag = wdiag.at[:, :, idxm, idxm].set(wdm)
+    a1m = conv2d_int32(xm, wem.reshape(1, 1, cin_m, cmid_m)) \
+        .astype(jnp.float32)
+    y1m = _rq(jnp.maximum(a1m * sem, 0.0), sdw_m)
+    a2m = conv2d_int32(y1m, wdiag, (2, 2), (1, 1)).astype(jnp.float32)
+    y2m = _rq(jnp.maximum(a2m * sdm, 0.0), spj_m)
+    a3m = conv2d_int32(y2m, wpm.reshape(1, 1, cmid_m, cout_m)) \
+        .astype(jnp.float32)
+    refm = _rq(a3m * spm, so_m)
+
+    def padl(a, nn=cmid_p, v=0):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, nn - a.shape[-1])],
+                       constant_values=v)
+
+    zm = jnp.zeros_like(wem)
+    we_bd = jnp.concatenate(
+        [jnp.concatenate([padl(wem), padl(zm)], 1),
+         jnp.concatenate([padl(zm), padl(wem)], 1)], 0)
+    lanem = lambda v: padl(v.reshape(1, cmid_m))
+    zlm = jnp.zeros((1, cmid_p), jnp.int8)
+    wam = jnp.stack([jnp.concatenate([lanem(wdm[dy, 1]), lanem(wdm[dy, 2])],
+                                     1) for dy in range(3)])
+    wbm = jnp.stack([jnp.concatenate([zlm, lanem(wdm[dy, 0])], 1)
+                     for dy in range(3)])
+    gotm = mnv2_block_s2_resident(
+        fold_w(xm), we_bd, wam, wbm,
+        jnp.pad(wpm, ((0, cmid_p - cmid_m), (0, 0))),
+        jnp.tile(padl(rowf(jnp.full(cmid_m, sem)), v=1.0), (1, 2)),
+        jnp.tile(padl(rowf(jnp.zeros(cmid_m))), (1, 2)),
+        padl(rowf(jnp.full(cmid_m, sdm)), v=1.0),
+        padl(rowf(jnp.zeros(cmid_m))),
+        rowf(jnp.full(cout_m, spm)), rowf(jnp.zeros(cout_m)),
+        jnp.asarray([sdw_m, spj_m, 0.0, so_m], jnp.float32),
+        meta=resident_meta(1, hm, hm // 2),
+        out_meta=resident_meta(1, hm // 2, hm // 2))
+    dm = np.abs(np.asarray(gotm, np.int32) - np.asarray(refm, np.int32))
+    assert dm.max() <= 1, dm.max()
+    print(f"mnv2 s2 resident block: |delta|<=1 ok (n_diff {(dm > 0).sum()})",
+          flush=True)
+
     property_checks()
     print("TPU SMOKE OK")
 
