@@ -1,0 +1,34 @@
+"""Offline real-image dataset for accuracy evidence: sklearn's digits.
+
+The zero-egress image has no MNIST/ImageNet download path, but
+scikit-learn ships the classic UCI handwritten-digits dataset (1797 real
+8x8 grayscale digit images, 10 classes) inside the wheel — REAL data, the
+small cousin of the reference's MNIST experiment (python/tmp.py:100-121).
+Used by examples/accuracy_parity.py (QAT parity on real data) and
+examples/annealing_mnist.py (gradient-free training on real data).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_digits_split(hw: int = 28, channels: int = 1, train_n: int = 1200,
+                      seed: int = 0):
+    """(x_train, y_train, x_test, y_test): real digit images in [0, 1],
+    bilinearly resized from 8x8 to (hw, hw, channels)."""
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    x = d.images.astype(np.float32) / 16.0            # (1797, 8, 8)
+    y = d.target.astype(np.int32)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(x))
+    x, y = x[order], y[order]
+    xj = jnp.asarray(x)[..., None]                    # (N, 8, 8, 1)
+    xj = jax.image.resize(xj, (len(x), hw, hw, 1), "bilinear")
+    if channels > 1:
+        xj = jnp.tile(xj, (1, 1, 1, channels))
+    yj = jnp.asarray(y)
+    return (xj[:train_n], yj[:train_n], xj[train_n:], yj[train_n:])

@@ -152,15 +152,28 @@ def run_family(fam, mod, cfg, lr, momentum, data, steps, batch, seed):
     return results, relerr
 
 
-def main(steps=400, batch=64, seed=0):
+def main(steps=400, batch=64, seed=0, dataset="synthetic"):
     rng = np.random.default_rng(seed)
-    templates = make_templates(rng)
-    x_train, y_train = synthetic_classes(rng, templates, 512)
-    x_test, y_test = synthetic_classes(rng, templates, 512)
-    data = (x_train, y_train, x_test, y_test)
+    if dataset == "digits":
+        # REAL images: sklearn's handwritten digits (offline in the wheel),
+        # resized 8x8 -> 32x32, 3-channel tiled — the real-data twin of the
+        # synthetic artifact (reference anchor: real-MNIST training,
+        # python/tmp.py:100-121)
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from _datasets import load_digits_split
+
+        data = load_digits_split(hw=32, channels=3, train_n=1280)
+        ds_name = "sklearn-digits (REAL 8x8 handwritten images, 10 classes)"
+    else:
+        templates = make_templates(rng)
+        x_train, y_train = synthetic_classes(rng, templates, 512)
+        x_test, y_test = synthetic_classes(rng, templates, 512)
+        data = (x_train, y_train, x_test, y_test)
+        ds_name = "synthetic-10class-32x32 (zero-egress stand-in)"
 
     out = {
-        "dataset": "synthetic-10class-32x32 (zero-egress stand-in)",
+        "dataset": ds_name,
         "targets_pct": TARGETS_PCT,
         "models": {},
     }
@@ -184,9 +197,12 @@ def main(steps=400, batch=64, seed=0):
         }
     out["all_targets_met"] = bool(all_pass)
     print(json.dumps(out, indent=1))
-    with open("accuracy_parity.json", "w") as f:
+    name = ("accuracy_parity.json" if dataset == "synthetic"
+            else f"accuracy_parity_{dataset}.json")
+    with open(name, "w") as f:
         json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
+         dataset=(sys.argv[2] if len(sys.argv) > 2 else "synthetic"))

@@ -1,10 +1,11 @@
 """Gradient-free int8 training demo — the reference's python/tmp.py experiment
 re-expressed: a pure-int8 4-conv classifier trained by simulated annealing.
 
-No MNIST ships in this zero-egress image, so the dataset is synthetic
-quadrant-blob digits (4 classes); swap in real MNIST arrays when available.
+Datasets: "digits" (default) = sklearn's REAL handwritten-digit images
+(10 classes, the offline stand-in for the reference's real MNIST,
+tmp.py:100-121); "synthetic" = the round-1 quadrant-blob 4-class set.
 
-Run: python examples/annealing_mnist.py [steps]
+Run: python examples/annealing_mnist.py [steps] [digits|synthetic]
 """
 import sys
 
@@ -34,9 +35,19 @@ def synthetic_digits(rng, n, classes=4):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    dataset = sys.argv[2] if len(sys.argv) > 2 else "digits"
     rng = np.random.default_rng(0)
-    x_train, y_train = synthetic_digits(rng, 256)
-    x_test, y_test = synthetic_digits(rng, 128)
+    if dataset == "digits":
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from _datasets import load_digits_split
+
+        x_train, y_train, x_test, y_test = load_digits_split()
+        print(f"dataset: sklearn digits (REAL images), "
+              f"train {len(x_train)} / test {len(x_test)}")
+    else:
+        x_train, y_train = synthetic_digits(rng, 256)
+        x_test, y_test = synthetic_digits(rng, 128)
 
     params = mnist.init_params(jax.random.key(0))
     weights = [p.values for p in params]
