@@ -191,14 +191,17 @@ def main():
           f"(micro-batch 8), top-1 agrees with the direct forward")
 
     # --- batch-1 low-latency lane: the contiguous resident pallas chain
-    # (kernels/resident_chain.py) — 103.5 us vs 117.3 classic at b1
-    # (resident_chain_ab_r3.json). A latency-tier server compiles this as
-    # its single-request executable beside the batched one; the pack's
+    # (kernels/resident_chain.py) with DMA-streamed downsample weights —
+    # 99.4 us vs 117.5 classic at b1 (resident_w4a8_ab_r4.json; the plain
+    # resident chain measured 103.0). A latency-tier server compiles this
+    # as its single-request executable beside the batched one; the pack's
     # static ints stay out of the traced pytree (split_pack/merge_pack).
     from lowbitdnn_project_tpu.kernels.resident_chain import (
-        apply_serving_resident, merge_pack, pack_resident_chain, split_pack)
+        apply_serving_resident, mark_stream, merge_pack,
+        pack_resident_chain, split_pack)
 
-    arrs, statics = split_pack(pack_resident_chain(qparams, scales, cfg))
+    arrs, statics = split_pack(
+        mark_stream(pack_resident_chain(qparams, scales, cfg)))
     infer_b1 = jax.jit(lambda p, x, a: apply_serving_resident(
         p, x, scales, cfg, merge_pack(a, statics)))
     x1 = QTensor(values=jnp.asarray(x_int8[:1]), scale=jnp.float32(in_scale))

@@ -33,7 +33,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from lowbitdnn_project_tpu.models import resnet                      # noqa: E402
 from lowbitdnn_project_tpu.models.layers import prepack_w4a8_1x1     # noqa: E402
 from lowbitdnn_project_tpu.kernels.resident_chain import (           # noqa: E402
-    apply_serving_resident, merge_pack, pack_resident_chain, split_pack)
+    apply_serving_resident, mark_stream, merge_pack, pack_resident_chain,
+    split_pack)
 from lowbitdnn_project_tpu.utils.timing import (                     # noqa: E402
     chain_via_scalar, chained_device_time)
 
@@ -67,7 +68,10 @@ def main():
                       for k, v in json.load(f)["act_scales"].items()}
     mark("scales loaded")
 
-    arrs, statics = split_pack(pack_resident_chain(qp8, act_scales, CFG))
+    # DMA-streamed ds weights won the r4 A/B (99.4 vs 103.0 plain resident
+    # vs 117.5 classic, resident_w4a8_ab_r4.json) — stream by default
+    arrs, statics = split_pack(
+        mark_stream(pack_resident_chain(qp8, act_scales, CFG)))
     mark("resident pack built")
 
     rows = []
