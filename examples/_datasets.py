@@ -15,9 +15,14 @@ import numpy as np
 
 
 def load_digits_split(hw: int = 28, channels: int = 1, train_n: int = 1200,
-                      seed: int = 0):
-    """(x_train, y_train, x_test, y_test): real digit images in [0, 1],
-    bilinearly resized from 8x8 to (hw, hw, channels)."""
+                      seed: int = 0, standardize: bool = True):
+    """(x_train, y_train, x_test, y_test): real digit images bilinearly
+    resized from 8x8 to (hw, hw, channels).
+
+    standardize=True mean-centers / unit-scales using TRAIN statistics
+    (the usual torchvision-Normalize step, reference python/tmp.py:104).
+    Raw [0,1] images (mean ~0.3, std ~0.3) stall MobileNet-V2's
+    momentum-SGD QAT at the 2.33 plateau; standardized, it trains."""
     from sklearn.datasets import load_digits
 
     d = load_digits()
@@ -30,5 +35,9 @@ def load_digits_split(hw: int = 28, channels: int = 1, train_n: int = 1200,
     xj = jax.image.resize(xj, (len(x), hw, hw, 1), "bilinear")
     if channels > 1:
         xj = jnp.tile(xj, (1, 1, 1, channels))
+    if standardize:
+        mu = jnp.mean(xj[:train_n])
+        sd = jnp.std(xj[:train_n]) + 1e-6
+        xj = (xj - mu) / sd
     yj = jnp.asarray(y)
     return (xj[:train_n], yj[:train_n], xj[train_n:], yj[train_n:])

@@ -15,7 +15,7 @@ the W4A8 kernel, use_w4a8_1x1=True): kept as the measured NEGATIVE result
 defaults off (models/resnet.py apply_quantized_int8chain).
 
 Run: python -m lowbitdnn_project_tpu.bench.serving_probe
-Writes serving_latency_r3.json.
+Writes serving_latency_r4.json.
 """
 from __future__ import annotations
 
@@ -105,7 +105,10 @@ def main():
                         return chain_via_scalar(c, logits)
                     args = (qp, act_scales)
 
-                t = chained_device_time(step, x, lo=20, hi=220, reps=3,
+                # iteration floors per CLAUDE.md: deltas must clear the
+                # ~100 ms relay-jitter floor (~100-460 us steps -> hi>=1200)
+                lo, hi = (200, 1500) if b == 1 else (150, 1200)
+                t = chained_device_time(step, x, lo=lo, hi=hi, reps=3,
                                         args=args)
                 best[name] = min(best.get(name, t), t)
                 mark(f"b{b} {name} pass{_pass}: {t * 1e6:.1f}us")
@@ -119,7 +122,7 @@ def main():
         rows.append(res)
         print(res, flush=True)
 
-    with open("serving_latency_r3.json", "w") as f:
+    with open("serving_latency_r4.json", "w") as f:
         json.dump(rows, f, indent=1)
 
 
