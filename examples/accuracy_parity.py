@@ -56,6 +56,15 @@ FAMILIES = {
     "mobilenet_v2": (mobilenet, MOBILENET_CFG, 3e-3, 0.9, 4),
 }
 
+# Dataset-specific overrides: on the real-image digits set the synthetic
+# MobileNet recipe plateaus at chance (loss flat at 2.33 from step 200 —
+# low-contrast [0,1] inputs vs the N(0,~1.2) synthetic templates); the
+# measured working recipe is plain SGD at a hotter lr for 8x the steps
+# (reaches 0.868 fp32 top-1 in the round-4 tuning run).
+FAMILY_OVERRIDES = {
+    "digits": {"mobilenet_v2": (mobilenet, MOBILENET_CFG, 1e-2, 0.0, 8)},
+}
+
 TARGETS_PCT = {"int8": 0.5, "w4a8": 1.5}
 
 
@@ -112,7 +121,13 @@ def run_family(fam, mod, cfg, lr, momentum, data, steps, batch, seed):
         relerr[name] = round(
             float(jnp.linalg.norm(logits - fp32_logits)) / fnorm, 4)
 
-    scales = mod.calibrate_act_scales(params, [x_train[:128]], cfg)
+    # calibration batches: 4x128 images — a single 128-image batch leaves
+    # absmax under-sampled (measured on digits: the MobileNet int8 row
+    # missed the 0.5% target by 0.08% — 3 test images — with 128-image
+    # calibration)
+    cal = [x_train[i * 128:(i + 1) * 128] for i in range(4)
+           if x_train.shape[0] >= (i + 1) * 128] or [x_train[:128]]
+    scales = mod.calibrate_act_scales(params, cal, cfg)
     evaluate("int8", mod.quantize_params(params, cfg, bits=8))
 
     # W4A8 row: deploy-precision QAT fine-tune (bits=4 fake-quant,
@@ -130,7 +145,7 @@ def run_family(fam, mod, cfg, lr, momentum, data, steps, batch, seed):
             p4, _, vel4 = step4(p4, xb, yb, vel4)
         else:
             p4, _ = step4(p4, xb, yb)
-    scales4 = mod.calibrate_act_scales(p4, [x_train[:128]], cfg)
+    scales4 = mod.calibrate_act_scales(p4, cal, cfg)
     evaluate("w4a8", mod.quantize_params(p4, cfg, bits=4), scales=scales4)
 
     if fam == "resnet":
@@ -139,7 +154,7 @@ def run_family(fam, mod, cfg, lr, momentum, data, steps, batch, seed):
         evaluate("int8_uint8acts", qp8, act_unsigned=True)
         # calibration-strategy A/B (absmax is the 'int8' row above)
         for strat in ("sigma", "percentile"):
-            s2 = mod.calibrate_act_scales(params, [x_train[:128]], cfg,
+            s2 = mod.calibrate_act_scales(params, cal, cfg,
                                           strategy=strat)
             evaluate(f"int8_{strat}", qp8, scales=s2)
         # W4A8 weight-range strategy A/B (VERDICT r3 #6): int4 weight
@@ -178,7 +193,9 @@ def main(steps=400, batch=64, seed=0, dataset="synthetic"):
         "models": {},
     }
     all_pass = True
-    for fam, (mod, cfg, lr, momentum, steps_scale) in FAMILIES.items():
+    families = dict(FAMILIES)
+    families.update(FAMILY_OVERRIDES.get(dataset, {}))
+    for fam, (mod, cfg, lr, momentum, steps_scale) in families.items():
         fam_steps = steps * steps_scale
         print(f"[{fam}] QAT training {fam_steps} steps "
               f"(lr {lr}, momentum {momentum})...", flush=True)

@@ -183,10 +183,21 @@ def _timed_adaptive(step, init, repeats, args=()):
 
 
 def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
-                  repeats: Dict[str, int], seed=0) -> List[Dict[str, Any]]:
+                  repeats: Dict[str, int], seed=0, skip: int = 0,
+                  sink=None) -> List[Dict[str, Any]]:
     rng = np.random.default_rng(seed)
     chip = detect_chip()
     results = []
+
+    def _emit(rec):
+        # incremental sink: multi-hour grids must survive a wedged relay
+        # (round 4: the full plane stalled 28 min into a futex at cell 84 —
+        # records only in the stdout log; --jsonl + --skip-cells resume)
+        results.append(rec)
+        if sink is not None:
+            sink.write(json.dumps(rec) + "\n")
+            sink.flush()
+
     cells = [c for c in itertools.product(
         exp["batch"], exp["spatial"], exp["channels"], exp["filters"])
         if c[3] >= c[2]]        # reference skips numFilters < C
@@ -194,6 +205,7 @@ def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
     # {8..256}^2 x C,K{32..2048} x B{16..128} plane is hundreds of cells;
     # "sample": s keeps every s-th)
     cells = cells[::exp.get("sample", 1)]
+    cells = cells[skip:]
     for b, hw, cin, cout in cells:
         k, stride, pad = exp["kernel"], exp["stride"], exp["pad"]
         oh_est = (hw + 2 * pad - k) // stride + 1
@@ -203,9 +215,8 @@ def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
         if est_bytes > 4e9:
             # OOM guard: a killed/OOM'd kernel can wedge the remote device
             # for the rest of the process (CLAUDE.md) — skip, keep sweeping
-            results.append(dict(experiment=exp["name"], batch=b, hw=hw,
-                                cin=cin, cout=cout,
-                                skipped="oom-guard (>4GB)"))
+            _emit(dict(experiment=exp["name"], batch=b, hw=hw,
+                       cin=cin, cout=cout, skipped="oom-guard (>4GB)"))
             continue
         x = _rand_int8(rng, (b, hw, hw, cin))
         w = _rand_int8(rng, (k, k, cin, cout))
@@ -232,9 +243,9 @@ def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
             try:
                 t = _timed_adaptive(step, init, repeats)
             except Exception as e:  # record failures, keep sweeping
-                results.append(dict(experiment=exp["name"], config=cfg["name"],
-                                    batch=b, hw=hw, cin=cin, cout=cout,
-                                    error=f"{type(e).__name__}"))
+                _emit(dict(experiment=exp["name"], config=cfg["name"],
+                           batch=b, hw=hw, cin=cin, cout=cout,
+                           error=f"{type(e).__name__}"))
                 continue
             rec = dict(experiment=exp["name"], config=cfg["name"], batch=b,
                        hw=hw, cin=cin, cout=cout, k=k, stride=stride,
@@ -242,7 +253,7 @@ def run_conv_grid(exp: Dict[str, Any], configs: List[Dict[str, Any]],
                        tops=round(cost.flops / t / 1e12, 1),
                        roofline_pct=round(
                            roofline_pct(t, cost, chip, sol_dtype), 1))
-            results.append(rec)
+            _emit(rec)
             print(rec)
     return results
 
@@ -460,11 +471,18 @@ def main(argv=None):
     ap.add_argument("--out", default="output.json")
     ap.add_argument("--quick", action="store_true",
                     help="shrink grids to one point each")
+    ap.add_argument("--skip-cells", type=int, default=0,
+                    help="conv_grid resume: skip the first N grid cells "
+                         "(cell order is deterministic)")
+    ap.add_argument("--jsonl", default=None,
+                    help="append each record to this JSONL file as it is "
+                         "measured (crash/stall-safe incremental output)")
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
         conf = json.load(f)
     repeats = conf.get("repeats", {"lo": 50, "hi": 550})
+    sink = open(args.jsonl, "a") if args.jsonl else None
     results = []
     for exp in conf["experiments"]:
         if args.experiment and exp["name"] != args.experiment:
@@ -474,7 +492,8 @@ def main(argv=None):
             if args.quick:
                 for key in ("batch", "spatial", "channels", "filters"):
                     e[key] = e[key][:1]
-            results += run_conv_grid(e, conf["configs"], repeats)
+            results += run_conv_grid(e, conf["configs"], repeats,
+                                     skip=args.skip_cells, sink=sink)
         elif exp["kind"] == "gemm_grid":
             e = dict(exp)
             if args.quick:
@@ -500,6 +519,8 @@ def main(argv=None):
         elif exp["kind"] == "model_layers":
             from lowbitdnn_project_tpu.bench.harness import run_resnet50_sweep
             results += run_resnet50_sweep(exp["batch"][0])
+    if sink is not None:
+        sink.close()
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {len(results)} records to {args.out}")
