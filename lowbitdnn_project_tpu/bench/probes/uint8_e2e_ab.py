@@ -1,16 +1,19 @@
 """One e2e number for the uint8 (asymmetric activation) chain.
 
 Round 3 priced the zero-point row-sum correction at ~26% PER-OP
-(wide-plane standalone) — but this project has six documented cases of
-per-op costs not surviving in-chain fusion, in both directions. This probe
-runs the b32 flagship regime and the b1 serving regime through
-`act_unsigned=True` vs the symmetric chain, interleaved min-of-2, plus the
-on-device logit-error comparison that motivates uint8 in the first place
-(asymmetric post-ReLU quantization cuts ResNet logit error 0.066->0.045,
-accuracy_parity.json).
+(wide-plane standalone); round 4 measured the in-graph int32 correction
+breaking conv->requant fusion e2e (0.38x/0.52x of symmetric at b1/b32,
+uint8_e2e_ab_r4.json). Round 5 folds the correction into the bias vector
+(zp is a compile-time constant, rowsum(w) a weight constant) so the
+big-tensor graph is structurally identical to the symmetric chain
+(ops/conv.py zp_fold="bias"). This probe runs the b32 flagship regime and
+the b1 serving regime through three variants — symmetric, unsigned with the
+bias fold (new default), unsigned with the r4 int32-domain correction —
+interleaved min-of-2, plus the on-device logit-error comparison that
+motivates uint8 in the first place.
 
 Run: python -m lowbitdnn_project_tpu.bench.probes.uint8_e2e_ab [batches...]
-Writes uint8_e2e_ab_r4.json.
+Writes uint8_e2e_ab_r5.json.
 """
 from __future__ import annotations
 
@@ -45,51 +48,53 @@ def main(batches=(1, 32)):
                   for k, v in json.load(f)["act_scales"].items()}
     mark("built")
 
+    def chain(qp, c, s, **kw):
+        return resnet.apply_quantized_int8chain(qp, c, s, CFG, backend="xla",
+                                                **kw)
+
+    VARIANTS = (
+        ("symmetric", {}),
+        ("uns_bias", {"act_unsigned": True, "zp_fold": "bias"}),
+        ("uns_acc", {"act_unsigned": True, "zp_fold": "acc"}),
+    )
+
     results = []
     for batch in batches:
         x = jnp.ones((batch, 224, 224, 3), jnp.float32) * 0.5
 
-        def step_sym(c, qp, s):
-            out = resnet.apply_quantized_int8chain(qp, c, s, CFG,
-                                                   backend="xla")
-            return chain_via_scalar(c, out)
-
-        def step_uns(c, qp, s):
-            out = resnet.apply_quantized_int8chain(qp, c, s, CFG,
-                                                   backend="xla",
-                                                   act_unsigned=True)
-            return chain_via_scalar(c, out)
-
         # float-reference logit errors on device (the accuracy side of the
-        # trade this probe prices)
+        # trade this probe prices); also checks the bias fold's numerics
+        # track the exact int32 correction
         lf = jax.jit(lambda: resnet.apply_fp32(params, x, CFG))()
-        ls = jax.jit(lambda: resnet.apply_quantized_int8chain(
-            qp8, x, scales, CFG, backend="xla"))()
-        lu = jax.jit(lambda: resnet.apply_quantized_int8chain(
-            qp8, x, scales, CFG, backend="xla", act_unsigned=True))()
-        err_s = float(jnp.linalg.norm(ls - lf) / jnp.linalg.norm(lf))
-        err_u = float(jnp.linalg.norm(lu - lf) / jnp.linalg.norm(lf))
-        mark(f"b{batch} logit relerr: sym {err_s:.4f} uns {err_u:.4f}")
+        errs = {}
+        for name, kw in VARIANTS:
+            lq = jax.jit(lambda kw=kw: chain(qp8, x, scales, **kw))()
+            errs[name] = float(jnp.linalg.norm(lq - lf) / jnp.linalg.norm(lf))
+        mark(f"b{batch} logit relerr: " +
+             " ".join(f"{n} {e:.4f}" for n, e in errs.items()))
 
         lo, hi = (200, 1700) if batch == 1 else (30, 330)
         best = {}
         for p in range(2):
-            for name, fn in (("symmetric", step_sym), ("unsigned", step_uns)):
-                t = chained_device_time(fn, x, lo=lo, hi=hi, reps=3,
+            for name, kw in VARIANTS:
+                def step(c, qp, s, kw=kw):
+                    return chain_via_scalar(c, chain(qp, c, s, **kw))
+                t = chained_device_time(step, x, lo=lo, hi=hi, reps=3,
                                         args=(qp8, scales))
                 best[name] = min(best.get(name, t), t)
                 mark(f"b{batch} {name} pass{p}: {t * 1e6:8.1f} us")
 
         us = {k: round(v * 1e6, 1) for k, v in best.items()}
         row = {"batch": batch, "us": us,
-               "unsigned_vs_symmetric": round(
-                   us["symmetric"] / us["unsigned"], 3),
-               "logit_relerr_sym": round(err_s, 4),
-               "logit_relerr_uns": round(err_u, 4)}
+               "uns_bias_vs_symmetric": round(
+                   us["symmetric"] / us["uns_bias"], 3),
+               "uns_acc_vs_symmetric": round(
+                   us["symmetric"] / us["uns_acc"], 3),
+               "logit_relerr": {k: round(v, 4) for k, v in errs.items()}}
         results.append(row)
         print(json.dumps(row, indent=1), flush=True)
 
-    with open("uint8_e2e_ab_r4.json", "w") as f:
+    with open("uint8_e2e_ab_r5.json", "w") as f:
         json.dump(results, f, indent=1)
 
 

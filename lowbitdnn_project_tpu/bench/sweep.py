@@ -63,7 +63,7 @@ def _conv_step(cfg_name: str, x, w, stride, pad, scale):
         # row-sum correction in the epilogue (ops/conv.py)
         from lowbitdnn_project_tpu.ops.conv import qconv2d
         wq = QTensor(values=w, scale=jnp.asarray(0.01, jnp.float32))
-        zp = jnp.asarray(-128, jnp.int32)
+        zp = -128  # static metadata on QTensor
 
         def step(c):
             xq = QTensor(values=c, scale=jnp.asarray(0.004, jnp.float32),
@@ -473,11 +473,22 @@ def main(argv=None):
                     help="shrink grids to one point each")
     ap.add_argument("--skip-cells", type=int, default=0,
                     help="conv_grid resume: skip the first N grid cells "
-                         "(cell order is deterministic)")
+                         "(cell order is deterministic). Requires "
+                         "--experiment (the skip applies per conv_grid, so "
+                         "running it against a multi-experiment config "
+                         "would silently drop cells from every grid). The "
+                         "--out JSON of a resumed run holds only the "
+                         "post-skip records — merge with the --jsonl file "
+                         "for the complete artifact.")
     ap.add_argument("--jsonl", default=None,
                     help="append each record to this JSONL file as it is "
                          "measured (crash/stall-safe incremental output)")
     args = ap.parse_args(argv)
+    if args.skip_cells and not args.experiment:
+        ap.error("--skip-cells requires --experiment: the skip applies to "
+                 "every conv_grid it touches, so resuming a "
+                 "multi-experiment config would drop cells from the other "
+                 "grids")
 
     with open(args.config) as f:
         conf = json.load(f)

@@ -319,6 +319,8 @@ def apply_quantized_int8chain(
     stop_after_stage: Optional[int] = None,
     start_at_stage: int = 0,
     act_unsigned: bool = False,
+    zp_fold: str = "bias",
+    wino_mode: Optional[str] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fully int8-chained inference: activations stay int8 between convs.
@@ -371,6 +373,20 @@ def apply_quantized_int8chain(
     scales are rescaled by 127/255 at those sites. Requires
     add_domain="float"; forces the classic stem and per-conv backend (the
     fused Pallas kernels are symmetric-int8-only).
+    zp_fold: zero-point correction mode for act_unsigned convs (ops/conv.py
+    qconv2d): "bias" (default) folds the zp*rowsum(w) correction into the
+    bias vector so the conv->requant graph stays structurally symmetric and
+    XLA fusion survives; "acc" is the exact int32-domain subtraction (the
+    r4 path, ~2x slower e2e — kept for the A/B and exactness oracles).
+    wino_mode: None | "int16" | "int8" — route every 3x3 stride-1 pad-1
+    conv on an even HxW map through transform-domain quantized Winograd
+    F(2x2,3x3) (ops/winograd.py qconv2d_winograd; the reference's fused
+    Winograd kernel, conv2DForward3x3WinogradFused.cuh). "int16" keeps
+    V/U exact in int16 (bit-level Winograd, no transform-domain quant
+    error); "int8" requantizes the transform domain to int8 (the
+    reference's per-position-scale scheme, its accuracy gated in
+    accuracy_parity.json — BASELINE config 5's "where numerically safe").
+    Incompatible with act_unsigned/block backends; eval/capability path.
     fold_layer1: run layer1 in the folded-W layout at the XLA level
     (requires fold_layer1_params prepack; bit-identical logits —
     tests/test_resident_chain.py). MEASURED NEGATIVE at batch: e2e
@@ -416,6 +432,16 @@ def apply_quantized_int8chain(
 
     def qc(x_q, p, relu, out_scale=None, stride=1, padding=0,
            unsigned=False):
+        if (wino_mode is not None and p.weight.shape[:2] == (3, 3)
+                and stride == 1 and padding == 1 and not unsigned
+                and x_q.zero_point is None
+                and x_q.shape[1] % 2 == 0 and x_q.shape[2] % 2 == 0):
+            from lowbitdnn_project_tpu.ops.winograd import (
+                qconv2d_winograd, wino_quantize_filter)
+            u, us = wino_quantize_filter(p.weight, mode=wino_mode)
+            return qconv2d_winograd(x_q, u, us, p.bias, relu=relu,
+                                    out_scale=out_scale, out_dtype=act_dtype,
+                                    mode=wino_mode)
         if (use_w4a8_1x1 and getattr(p, "w4pack", None) is not None
                 and stride == 1 and padding == 0):
             from lowbitdnn_project_tpu.kernels.matmul_w4a8 import (
@@ -436,7 +462,7 @@ def apply_quantized_int8chain(
         return qconv2d(x_q, p.weight, p.bias, stride=stride, padding=padding,
                        relu=relu, out_scale=out_scale, out_dtype=act_dtype,
                        backend=backend, out_unsigned=unsigned,
-                       interpret=interpret)
+                       zp_fold=zp_fold, interpret=interpret)
 
     def rescale(x_q: QTensor, new_scale) -> QTensor:
         r = jnp.round(x_q.values.astype(jnp.float32) * (x_q.scale / new_scale))

@@ -115,7 +115,9 @@ def _combined_scale(x_q: QTensor, w_q: QTensor, out_ch: int) -> jax.Array:
     quantization.py:8-15), vectorized over output channels.
     """
     if x_q.axis is not None:
-        raise NotImplementedError("per-channel activation scales unsupported")
+        raise NotImplementedError(
+            "per-channel activation scales take the group-split XLA path "
+            "in qconv2d/qlinear, not the combined-scale epilogue")
     ws = w_q.scale_vector()
     return jnp.broadcast_to(
         (x_q.scale * ws).astype(jnp.float32).reshape(-1), (out_ch,))
@@ -136,6 +138,8 @@ def qconv2d(
     backend: str = "auto",
     wino_u: Optional[Tuple[jax.Array, jax.Array]] = None,
     out_unsigned: bool = False,
+    zp_fold: str = "bias",
+    act_group_size: int = 32,
     interpret: bool = False,
 ) -> Union[jax.Array, QTensor]:
     """Quantized conv with fused dequant+bias+ReLU(+requant) epilogue.
@@ -155,6 +159,26 @@ def qconv2d(
       out_unsigned: with out_scale and relu, emit an asymmetric QTensor
         (zero_point=-128) — the outputs are one-sided post-ReLU, so this
         spends all 256 levels on [0, out_scale*255].
+      act_group_size: channel-group width for per-channel ACTIVATION scales
+        (x_q.axis == 3). The reference's fused kernel quantizes activations
+        with per-4-channel-group scales (conv2DForward3x3Fused.cuh:15-31);
+        here a per-channel activation scale must be CONSTANT within each
+        group of ``act_group_size`` channels (quant.group_channel_scale
+        builds one), and the conv runs exactly as one int8 conv per group
+        with the group scales applied in a weighted sum — per-group int32
+        accumulation, no requantization error. 32 is the TPU sublane-
+        friendly default (the reference's 4 would fragment the MXU
+        contraction 8x further). Capability path, XLA backend only: G
+        partial convs cost more than one full conv — use per-tensor
+        activation scales (possibly asymmetric) on the fast path.
+      zp_fold: how the asymmetric zero-point correction is applied.
+        "bias" (default) folds zp*row_sum(w)[k]*scale[k] into the bias
+        vector — a (K,) precompute; the big-tensor graph is structurally
+        identical to the symmetric chain, so XLA's conv->requant fusion
+        survives (the r4 in-graph int32 correction cost ~2x e2e,
+        uint8_e2e_ab_r4.json). "acc" subtracts zp*row_sum(w) on the int32
+        accumulator — bit-matches the (q-zp) integer conv oracle exactly;
+        kept for exactness tests and the e2e A/B.
       backend: "auto" | "xla" | "xla_gemm" (xla, but 1x1 s1 p0 convs run
         as dot_general — e2e-A/B'd routing experiment) | "gemm"
         (Pallas im2col GEMM) | "direct"
@@ -175,16 +199,36 @@ def qconv2d(
             f"equal input channels ({c}); got input {x_q.shape} (NHWC), "
             f"weight {w_q.shape} (HWIO)")
 
-    scale = _combined_scale(x_q, w_q, k)
+    if zp_fold not in ("bias", "acc"):
+        raise ValueError(f"zp_fold must be 'bias' or 'acc', got {zp_fold!r}")
+    act_pc = x_q.axis is not None
+    if act_pc:
+        if (x_q.axis % x_q.ndim) != 3:
+            raise NotImplementedError(
+                "per-channel activation scales must live on the channel "
+                f"axis (3); got axis {x_q.axis}")
+        if x_q.zero_point is not None:
+            raise NotImplementedError(
+                "per-channel asymmetric activations unsupported")
+        if groups != 1:
+            raise NotImplementedError(
+                "per-channel activation scales: groups must be 1")
+        # epilogue scale carries only the weight part; the activation group
+        # scales enter through the group-split weighted sum below
+        scale = jnp.broadcast_to(
+            jnp.asarray(w_q.scale_vector(), jnp.float32).reshape(-1), (k,))
+    else:
+        scale = _combined_scale(x_q, w_q, k)
     requant = out_scale is not None
     if out_unsigned and not (requant and relu):
         raise ValueError("out_unsigned requires out_scale and relu "
                          "(uint8 output is for one-sided post-ReLU data)")
 
-    if (x_q.zero_point is not None or out_unsigned) and backend in (
-            "auto", "gemm", "direct", "winograd", "wpack"):
-        # Asymmetric activations ride the XLA path (the measured-fastest
-        # default anyway); the Pallas lab kernels are symmetric-int8-only.
+    if (x_q.zero_point is not None or out_unsigned or act_pc) and backend in (
+            "auto", "gemm", "direct", "winograd", "wpack", "xla_gemm"):
+        # Asymmetric and per-channel-scaled activations ride the XLA path
+        # (the measured-fastest default anyway); the Pallas lab kernels are
+        # symmetric-per-tensor-int8-only.
         backend = "xla"
 
     if backend == "auto":
@@ -259,7 +303,28 @@ def qconv2d(
                    and stride == (1, 1) and padding == (0, 0)
                    and groups == 1 and x_q.zero_point is None)
         zp = x_q.zero_point
-        if gemm1x1:
+        if act_pc:
+            # group-split conv: one exact int8 conv per activation scale
+            # group, group scales applied in a float weighted sum of the
+            # int32 partials — the reference's per-group fused-quantize
+            # algebra (conv2DForward3x3Fused.cuh:15-31,216) on TPU terms
+            gs = min(act_group_size, c)
+            if c % gs:
+                raise ValueError(
+                    f"act_group_size {gs} must divide input channels {c}")
+            ngrp = c // gs
+            sx = x_q.scale_vector().reshape(ngrp, gs)[:, 0]
+            partials = jnp.stack([
+                conv2d_int32(
+                    jax.lax.slice_in_dim(x_q.values, g * gs, (g + 1) * gs,
+                                         axis=3),
+                    jax.lax.slice_in_dim(w_q.values, g * gs, (g + 1) * gs,
+                                         axis=2),
+                    stride, padding, dilation, 1)
+                for g in range(ngrp)])                 # (G, N, OH, OW, K)
+            acc = jnp.tensordot(sx.astype(jnp.float32),
+                                partials.astype(jnp.float32), axes=1)
+        elif gemm1x1:
             # 1x1 conv as dot_general: the reshape is a free view and the
             # GEMM emitter measured +10% on K>=256 deep-layer shapes
             # (bench/probes/one_by_one_ablate.py) — routing decided by e2e
@@ -273,20 +338,37 @@ def qconv2d(
             acc = conv2d_int32(
                 x_q.values, w_q.values, stride, padding, dilation, groups)
         else:
-            # pad with the zero point so padded positions represent real 0,
-            # then correct acc by zp * per-channel weight row-sums:
-            #   sum_r (q_r - zp) w_r = acc_raw - zp * sum_r w_r
+            # pad with the (static) zero point so padded positions represent
+            # real 0; the zp correction sum_r (q_r - zp) w_r =
+            # acc_raw - zp * sum_r w_r is NOT applied on the int32 acc —
+            # that extra big-tensor op broke XLA's conv->requant fusion and
+            # cost ~2x e2e (uint8_e2e_ab_r4.json). Instead it folds into the
+            # bias below: zp is a compile-time constant and row_sum(w) a
+            # per-out-channel weight constant, so
+            #   bias' = bias - zp * row_sum(w)[k] * scale[k]
+            # is a (K,)-vector precompute (the reference's alpha-folding
+            # ethos, python/qtorch/cpp/conv2d.cuh:147-155) and the big-tensor
+            # graph is structurally identical to the symmetric chain.
             xv = x_q.values
             ph, pw = padding
             if ph or pw:
                 xv = jax.lax.pad(
-                    xv, zp.astype(xv.dtype),
+                    xv, jnp.asarray(zp, xv.dtype),
                     ((0, 0, 0), (ph, ph, 0), (pw, pw, 0), (0, 0, 0)))
             acc = conv2d_int32(
                 xv, w_q.values, stride, (0, 0), dilation, groups)
-            wsum = jnp.sum(w_q.values.astype(jnp.int32), axis=(0, 1, 2))
-            acc = acc - zp * wsum
+            if zp_fold == "acc":
+                # exact int32-domain correction (the r4 path): bit-matches
+                # the (q - zp) integer conv oracle, but the extra big-tensor
+                # op broke conv->requant fusion e2e (uint8_e2e_ab_r4.json)
+                wsum = jnp.sum(w_q.values.astype(jnp.int32), axis=(0, 1, 2))
+                acc = acc - zp * wsum
         out = acc.astype(jnp.float32) * scale
+        if zp is not None and zp_fold == "bias":
+            wsum = jnp.sum(w_q.values.astype(jnp.int32), axis=(0, 1, 2))
+            zp_corr = (-float(zp)) * wsum.astype(jnp.float32) * scale
+            bias = zp_corr if bias is None else \
+                jnp.asarray(bias, jnp.float32) + zp_corr
         if bias is not None:
             out = out + jnp.asarray(bias, jnp.float32)
         if relu:
@@ -305,6 +387,5 @@ def qconv2d(
     if requant:
         return QTensor(values=out, scale=jnp.asarray(out_scale, jnp.float32),
                        bits=8, axis=None,
-                       zero_point=jnp.asarray(-128, jnp.int32)
-                       if out_unsigned else None)
+                       zero_point=-128 if out_unsigned else None)
     return out

@@ -31,10 +31,9 @@ def _shard_qtensor_on_axis(q: QTensor, mesh: Mesh, channel_axis: int) -> QTensor
         scale = jax.device_put(q.scale, NamedSharding(mesh, P(*spec)))
     else:
         scale = jax.device_put(q.scale, NamedSharding(mesh, P()))
-    zp = None if q.zero_point is None else jax.device_put(
-        q.zero_point, NamedSharding(mesh, P()))
+    # zero_point is static metadata (a Python int), not a device array
     return QTensor(values=values, scale=scale, bits=q.bits, axis=q.axis,
-                   zero_point=zp)
+                   zero_point=q.zero_point)
 
 
 def shard_qparams_tp(qparams: Any, mesh: Mesh) -> Any:

@@ -3,6 +3,7 @@
 from lowbitdnn_project_tpu.quant.qtensor import QTensor, QMAX, scale_shape
 from lowbitdnn_project_tpu.quant.quantize import (
     compute_scale,
+    group_channel_scale,
     quantize,
     dequantize,
     fake_quantize,
@@ -15,6 +16,7 @@ __all__ = [
     "QMAX",
     "scale_shape",
     "compute_scale",
+    "group_channel_scale",
     "quantize",
     "dequantize",
     "fake_quantize",

@@ -42,15 +42,19 @@ class QTensor:
         broadcast-compatible shape with exactly one non-1 dim for per-channel.
       bits: logical bit-width (8 or 4) — static.
       axis: channel axis the scale varies along, or None for per-tensor — static.
-      zero_point: int32 scalar zero point for asymmetric ("uint8") payloads,
-        or None for symmetric. real = (values - zero_point) * scale.
+      zero_point: integer zero point for asymmetric ("uint8") payloads, or
+        None for symmetric. real = (values - zero_point) * scale. Static
+        (not a pytree leaf): it is canonically the CONSTANT -128, and keeping
+        it a Python int lets consumers use it as a compile-time constant
+        (static pad values, bias-folded epilogue corrections) instead of a
+        traced array that forces extra ops into the conv->requant chain.
     """
 
     values: jax.Array
     scale: jax.Array
     bits: int = struct.field(pytree_node=False, default=8)
     axis: Optional[int] = struct.field(pytree_node=False, default=None)
-    zero_point: Optional[jax.Array] = None
+    zero_point: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -77,7 +81,7 @@ class QTensor:
     def dequantize(self) -> jax.Array:
         v = self.values.astype(jnp.float32)
         if self.zero_point is not None:
-            v = v - self.zero_point.astype(jnp.float32)
+            v = v - float(self.zero_point)
         return v * self.scale
 
     def astype_float(self, dtype=jnp.float32) -> jax.Array:

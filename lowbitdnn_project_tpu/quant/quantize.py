@@ -57,6 +57,37 @@ def compute_scale(
     return jnp.maximum(r, eps).astype(jnp.float32) / qmax
 
 
+def group_channel_scale(
+    x: jax.Array,
+    group_size: int = 32,
+    bits: int = 8,
+    axis: int = -1,
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Per-GROUP symmetric scale, expanded to per-channel (group-constant).
+
+    The reference's fused kernel quantizes activations with per-4-channel-
+    group scales (cpp/int8conv/conv2DForward3x3Fused.cuh:15-31); this builds
+    the TPU analogue: one absmax scale per ``group_size`` channels along
+    ``axis``, repeated within each group so the result is a valid per-channel
+    QTensor scale (shape C along axis). qconv2d consumes it exactly via its
+    group-split path (ops/conv.py act_group_size must divide group_size or
+    equal it).
+    """
+    axis = axis % x.ndim
+    c = x.shape[axis]
+    if c % group_size:
+        raise ValueError(f"group_size {group_size} must divide channels {c}")
+    a = jnp.abs(jnp.moveaxis(x, axis, -1).reshape(-1, c // group_size,
+                                                  group_size))
+    r = jnp.max(a, axis=(0, 2))                       # (G,) group absmax
+    per_group = jnp.maximum(r, eps).astype(jnp.float32) / QMAX[bits]
+    per_chan = jnp.repeat(per_group, group_size)      # (C,) group-constant
+    shape = [1] * x.ndim
+    shape[axis] = c
+    return per_chan.reshape(shape)
+
+
 @jax.custom_jvp
 def _round_ste(x: jax.Array) -> jax.Array:
     """round() with a straight-through gradient (ref _Quantize.backward)."""
@@ -118,7 +149,7 @@ def quantize(
                 key, x.shape, jnp.float32, -0.5, 0.5)
         q = jnp.clip(_round_ste(scaled) + UINT8_ZP, -128, 127).astype(jnp.int8)
         return QTensor(values=q, scale=scale, bits=8, axis=None,
-                       zero_point=jnp.asarray(UINT8_ZP, jnp.int32))
+                       zero_point=UINT8_ZP)
     qmax = QMAX[bits]
     if scale is None:
         scale = compute_scale(x, bits=bits, axis=axis)

@@ -79,8 +79,9 @@ def _unflatten(spec: Any, path: str, arrays: Dict[str, np.ndarray]) -> Any:
         if meta["packed"]:
             vals = np.asarray(unpack_int4(jnp.asarray(vals)))
         axis = meta["axis"]
-        zp = (jnp.asarray(arrays[f"{path}.zp"], jnp.int32)
-              if meta.get("zp") else None)  # .get: absent in version-0 files
+        # .get: absent in version-0 files; int(...) — zero_point is static
+        # Python-int metadata on QTensor (the on-disk array form is kept)
+        zp = int(arrays[f"{path}.zp"]) if meta.get("zp") else None
         return QTensor(values=jnp.asarray(vals, jnp.int8),
                        scale=jnp.asarray(arrays[f"{path}.scale"]),
                        bits=meta["bits"], axis=axis, zero_point=zp)

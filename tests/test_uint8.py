@@ -68,17 +68,47 @@ def _ref_asym_conv(x_q, w_q, bias, stride, padding, relu):
 @pytest.mark.parametrize("padding,stride,relu", [(0, 1, False), (1, 1, True),
                                                  (2, 2, True), (3, 2, False)])
 def test_qconv2d_asymmetric_bit_exact(rng, padding, stride, relu):
-    """zp-padding + row-sum correction must match the (q - zp) int32 conv
-    bit-exactly (identical integer accumulation, identical float epilogue)."""
+    """zp-padding + row-sum correction (zp_fold="acc", the int32-domain
+    mode) must match the (q - zp) int32 conv bit-exactly (identical integer
+    accumulation, identical float epilogue)."""
     x = np.abs(rng.normal(size=(2, 9, 9, 16)).astype(np.float32)) * 4
     w = rng.normal(size=(3, 3, 16, 24)).astype(np.float32) * 0.3
     b = rng.normal(size=(24,)).astype(np.float32)
     x_q = quantize(jnp.asarray(x), unsigned=True)
     w_q = quantize(jnp.asarray(w), axis=3)
     got = qconv2d(x_q, w_q, jnp.asarray(b), stride=stride, padding=padding,
-                  relu=relu)
+                  relu=relu, zp_fold="acc")
     ref = _ref_asym_conv(x_q, w_q, jnp.asarray(b), stride, padding, relu)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("padding,stride,relu", [(0, 1, False), (1, 1, True),
+                                                 (2, 2, True), (3, 2, False)])
+def test_qconv2d_asymmetric_bias_fold(rng, padding, stride, relu):
+    """zp_fold="bias" (default, fusion-friendly): same integer accumulation,
+    zp correction folded into the bias vector. Float-assoc differs from the
+    "acc" mode by ulps only; requantized outputs must agree within |d|<=1
+    (the repo's standard requant oracle)."""
+    x = np.abs(rng.normal(size=(2, 9, 9, 16)).astype(np.float32)) * 4
+    w = rng.normal(size=(3, 3, 16, 24)).astype(np.float32) * 0.3
+    b = rng.normal(size=(24,)).astype(np.float32)
+    x_q = quantize(jnp.asarray(x), unsigned=True)
+    w_q = quantize(jnp.asarray(w), axis=3)
+    ref = _ref_asym_conv(x_q, w_q, jnp.asarray(b), stride, padding, relu)
+    got = qconv2d(x_q, w_q, jnp.asarray(b), stride=stride, padding=padding,
+                  relu=relu)  # zp_fold="bias" default
+    scale_mag = float(jnp.max(jnp.abs(ref))) + 1e-6
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=2e-5 * scale_mag)
+    # requantized chain: |delta| <= 1 vs the exact-int mode
+    os = jnp.asarray(scale_mag / 127.0, jnp.float32)
+    qa = qconv2d(x_q, w_q, jnp.asarray(b), stride=stride, padding=padding,
+                 relu=True, out_scale=os, zp_fold="acc")
+    qb = qconv2d(x_q, w_q, jnp.asarray(b), stride=stride, padding=padding,
+                 relu=True, out_scale=os, zp_fold="bias")
+    d = np.abs(np.asarray(qa.values, np.int32) -
+               np.asarray(qb.values, np.int32))
+    assert d.max() <= 1, d.max()
 
 
 def test_qconv2d_asymmetric_groups(rng):
@@ -86,7 +116,7 @@ def test_qconv2d_asymmetric_groups(rng):
     w = rng.normal(size=(3, 3, 1, 16)).astype(np.float32) * 0.3
     x_q = quantize(jnp.asarray(x), unsigned=True)
     w_q = quantize(jnp.asarray(w), axis=3)
-    got = qconv2d(x_q, w_q, None, padding=1, groups=16)
+    got = qconv2d(x_q, w_q, None, padding=1, groups=16, zp_fold="acc")
     xv = x_q.values.astype(jnp.int32) - x_q.zero_point
     acc = jax.lax.conv_general_dilated(
         xv, w_q.values.astype(jnp.int32), (1, 1), ((1, 1), (1, 1)),
@@ -112,7 +142,7 @@ def test_qconv2d_unsigned_output_requant(rng):
     # chained consumption: asym output feeds the next conv exactly
     w2 = quantize(jnp.asarray(
         rng.normal(size=(1, 1, 8, 8)).astype(np.float32) * 0.2), axis=3)
-    nxt = qconv2d(oq, w2, None)
+    nxt = qconv2d(oq, w2, None, zp_fold="acc")
     ref = _ref_asym_conv(oq, w2, None, 1, 0, False)
     np.testing.assert_array_equal(np.asarray(nxt), np.asarray(ref))
 
