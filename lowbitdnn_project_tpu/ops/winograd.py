@@ -84,6 +84,62 @@ def wino_quantize_filter(
     return u, u_scale
 
 
+def wino_range_report(qparams) -> dict:
+    """Per-layer ±4σ transform-domain range analysis on trained weights.
+
+    The reference justifies its transform-domain int8 ranges by measuring
+    how much of the GgGᵀ-transformed weight distribution a ±4σ window
+    covers (weights.py:8-26, plotted over ResNet-34 3x3 layers). This is
+    that analysis as a function: walk a quantized param pytree, and for
+    every 3x3 conv report, over the 16 Winograd tile positions,
+      * sigma4_cover — fraction of |U| values within 4σ of their (zero)
+        mean, worst position (reference's headline number; ≈1.0 means the
+        ±4σ window loses almost nothing),
+      * absmax_over_4sigma — absmax/4σ, worst position (heavy-tail factor:
+        how much grid the absmax scale wastes vs a ±4σ clip),
+      * u_int8_relerr — ||U - Q8(U)||/||U|| with the shipped per-position
+        per-out-channel scales (wino_quantize_filter mode="int8"): the
+        actual transform-domain weight quantization error.
+    The model-level gate (top-1 via wino_mode="int8") lives in
+    examples/accuracy_parity.py; this report documents per-layer safety.
+    """
+    report = {}
+
+    def visit(node, path):
+        from lowbitdnn_project_tpu.models.layers import QConvParams
+        if isinstance(node, QConvParams):
+            kh, kw = node.weight.shape[:2]
+            if (kh, kw) != (3, 3):
+                return
+            w = np.asarray(node.weight.dequantize(), np.float64)
+            u = np.einsum("ij,jkcn,lk->ilcn", G, w, G).reshape(16, -1)
+            sig = u.std(axis=1) + 1e-12                # per position
+            cover = (np.abs(u) <= 4.0 * sig[:, None]).mean(axis=1)
+            ratio = np.abs(u).max(axis=1) / (4.0 * sig)
+            uq, us = wino_quantize_filter(node.weight, mode="int8")
+            u8 = (np.asarray(uq, np.float64)
+                  * np.asarray(us, np.float64)).reshape(16, -1)
+            u_f = np.asarray(
+                filter_transform(node.weight.dequantize()),
+                np.float64).reshape(16, -1)
+            relerr = float(np.linalg.norm(u8 - u_f) /
+                           (np.linalg.norm(u_f) + 1e-30))
+            report[path] = {
+                "sigma4_cover_min": round(float(cover.min()), 5),
+                "absmax_over_4sigma_max": round(float(ratio.max()), 3),
+                "u_int8_relerr": round(relerr, 5),
+            }
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                visit(v, f"{path}.{k}" if path else k)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                visit(v, f"{path}[{i}]")
+
+    visit(qparams, "")
+    return report
+
+
 def _data_transform_int(tiles: jax.Array) -> jax.Array:
     """BᵀdB on int tiles: (16, M, C) int16 from (4, 4, M, C) int16.
 

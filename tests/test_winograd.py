@@ -106,3 +106,40 @@ def test_int4_weight_winograd_path(rng):
         restored.scale).reshape(1, 1, 1, k))
     rel = np.linalg.norm(np.asarray(got) - want) / np.linalg.norm(want)
     assert rel < 0.05, rel
+
+
+def test_chain_wino_mode_routes_and_tracks(rng):
+    """apply_quantized_int8chain(wino_mode=...): int16 mode (exact integer
+    Winograd) tracks the xla chain closely; int8 mode stays bounded. The
+    range report covers every routed 3x3 layer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lowbitdnn_project_tpu.models import resnet
+    from lowbitdnn_project_tpu.ops.winograd import wino_range_report
+
+    cfg = resnet.ResNetConfig(stage_blocks=(1, 1, 1, 1), bottleneck=True,
+                              num_classes=10, width=16)
+    params = resnet.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    scales = resnet.calibrate_act_scales(params, [x], cfg)
+    qp = resnet.quantize_params(params, cfg)
+    base = resnet.apply_quantized_int8chain(qp, x, scales, cfg, backend="xla")
+    w16 = resnet.apply_quantized_int8chain(qp, x, scales, cfg, backend="xla",
+                                           wino_mode="int16")
+    w8 = resnet.apply_quantized_int8chain(qp, x, scales, cfg, backend="xla",
+                                          wino_mode="int8")
+    bn = float(jnp.linalg.norm(base))
+    e16 = float(jnp.linalg.norm(w16 - base)) / bn
+    e8 = float(jnp.linalg.norm(w8 - base)) / bn
+    # int16 transform domain is exact; only requant rounding at block
+    # boundaries can differ by the |d|<=1 oracle's worth
+    assert e16 < 0.05, e16
+    assert e8 < 0.25, e8
+    rep = wino_range_report(qp)
+    # every 3x3 conv layer reported (bottleneck conv2 of each block; the
+    # 7x7 stem and 1x1s are not Winograd material)
+    assert any("conv2" in k for k in rep), rep.keys()
+    for row in rep.values():
+        assert 0.9 <= row["sigma4_cover_min"] <= 1.0
+        assert row["u_int8_relerr"] < 0.05
