@@ -15,14 +15,19 @@ import numpy as np
 
 
 def load_digits_split(hw: int = 28, channels: int = 1, train_n: int = 1200,
-                      seed: int = 0, standardize: bool = True):
+                      seed: int = 0, standardize: bool = False):
     """(x_train, y_train, x_test, y_test): real digit images bilinearly
     resized from 8x8 to (hw, hw, channels).
 
     standardize=True mean-centers / unit-scales using TRAIN statistics
     (the usual torchvision-Normalize step, reference python/tmp.py:104).
     Raw [0,1] images (mean ~0.3, std ~0.3) stall MobileNet-V2's
-    momentum-SGD QAT at the 2.33 plateau; standardized, it trains."""
+    momentum-SGD QAT at the 2.33 plateau; standardized, it trains.
+    Default is FALSE (raw [0,1]): the annealing int8-MNIST model
+    (models/mnist.py) documents [0,1] inputs and quantizes with a fixed
+    scale of 1/127 — standardized pixels (range ~[-1, +2.3]) would saturate
+    every bright pixel at the clip and flatten contrast (ADVICE r4). The
+    MobileNet QAT experiments opt in explicitly."""
     from sklearn.datasets import load_digits
 
     d = load_digits()

@@ -27,7 +27,8 @@ from _datasets import load_digits_split  # noqa: E402
 
 
 def main(n_seeds=3):
-    data = load_digits_split(hw=32, channels=3, train_n=1280)
+    data = load_digits_split(hw=32, channels=3, train_n=1280,
+                             standardize=True)
     mod, cfg, lr, momentum, steps_scale = ap.FAMILY_OVERRIDES["digits"][
         "mobilenet_v2"]
     steps = 400 * steps_scale
