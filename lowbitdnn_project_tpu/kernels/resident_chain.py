@@ -627,8 +627,14 @@ def run_resident_stages(vals: jax.Array, folded: bool, pack: Dict, *,
         if sp_ is not None and sp_["nblk"] > 0:
             n2, h2v, w2v_, _ = vals.shape
             m2 = resident_meta(n2, h2v, w2v_)
-            stage = (resident_w4a8.stage_nhwc_resident_w4 if sp_.get("w4")
-                     else stage_nhwc_resident)
+            if sp_.get("w4"):
+                stage = resident_w4a8.stage_nhwc_resident_w4
+            elif sp_.get("stream"):
+                from lowbitdnn_project_tpu.kernels.resident_stream import (
+                    stage_nhwc_resident_stream)
+                stage = stage_nhwc_resident_stream
+            else:
+                stage = stage_nhwc_resident
             vals = stage(
                 vals, sp_["w1"], sp_["w2"], sp_["w3"],
                 sp_["s1"], sp_["b1"], sp_["s2"], sp_["b2"],
@@ -710,7 +716,7 @@ def apply_serving_partial_resident(
 # ---------------------------------------------- jit-boundary pack splitting
 
 ENTRY_STATIC = ("stride", "cin", "cmid", "cout", "stream")
-STAGE_STATIC = ("nblk", "first", "folded")
+STAGE_STATIC = ("nblk", "first", "folded", "stream")
 
 
 def mark_stream(pack, stages=(1, 2, 3)):
@@ -719,6 +725,21 @@ def mark_stream(pack, stages=(1, 2, 3)):
     for st in stages:
         if pack["entry"][st]["stride"] == 2:
             pack["entry"][st]["stream"] = True
+    return pack
+
+
+def mark_stage_stream(pack, stages=(1, 2, 3)):
+    """Route the given identity-stage runs through the use-order
+    DMA-streamed stage kernel (kernels/resident_stream.py:
+    stage_nhwc_resident_stream) instead of the grid-prologue version.
+    cmid<=64 (single-dot) and W4 stage packs are left on their own
+    kernels. Returns the pack (mutated)."""
+    for st in stages:
+        sp_ = pack["stages"].get(st)
+        if sp_ is None or sp_.get("w4"):
+            continue
+        if sp_["w1"].shape[1] > 64:
+            sp_["stream"] = True
     return pack
 
 

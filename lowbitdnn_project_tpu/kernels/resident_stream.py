@@ -37,6 +37,140 @@ from lowbitdnn_project_tpu.kernels.stage_resident import (
 )
 
 
+def _stage_stream_kernel(x_ref, w1_ref, w2_ref, w3_ref,
+                         s1_ref, b1_ref, s2_ref, b2_ref, s3_ref, b3_ref,
+                         sc_ref, mask_ref, out_ref,
+                         carry, y1_ref, w1v, w2v, w3v, sems,
+                         *, g8, bm, c, cmid, nblk, meta):
+    from lowbitdnn_project_tpu.kernels.resident_chain import (
+        _chunks, _pack_rows, _unpack_rows)
+
+    offsets = tuple(dy * meta.pitch + dx
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    # start EVERY block's weight copies up front, in use order: the DMA
+    # queue drains w1[0] first (the only copy anything waits on before
+    # compute starts) and the rest stream behind the matmuls. This is the
+    # K-tiled-streaming lever vs the grid version (stage_nhwc_resident),
+    # whose step-0 prologue serializes the whole first block's 1+2.25+1
+    # weight matrices before any compute.
+    dmas = []
+    for blk in range(nblk):
+        for j, (src, dst, rows) in enumerate((
+                (w1_ref, w1v, c), (w2_ref, w2v, 9 * cmid),
+                (w3_ref, w3v, cmid))):
+            d = pltpu.make_async_copy(
+                src.at[blk * rows:(blk + 1) * rows, :],
+                dst.at[blk * rows:(blk + 1) * rows, :],
+                sems.at[blk, j])
+            d.start()
+            dmas.append(d)
+
+    _pack_rows(carry, x_ref, meta)       # overlaps the w1[0] copy
+
+    for blk in range(nblk):
+        dmas[3 * blk + 0].wait()
+        w1 = w1v[blk * c:(blk + 1) * c, :]
+        for r0, r1 in _chunks(0, meta.u):
+            acc1 = jnp.dot(carry[r0:r1, :], w1,
+                           preferred_element_type=jnp.int32)
+            h1 = jnp.maximum(
+                acc1.astype(jnp.float32) * s1_ref[blk] + b1_ref[blk], 0.0)
+            q1 = jnp.clip(jnp.round(h1 * (1.0 / sc_ref[blk, 0])),
+                          -127.0, 127.0)
+            y1_ref[r0:r1, :] = jnp.where(mask_ref[r0:r1] != 0, q1,
+                                         0.0).astype(jnp.int8)
+
+        dmas[3 * blk + 1].wait()
+        w3 = None
+        for r0, r1 in _chunks(g8, g8 + bm):
+            n = r1 - r0
+            acc2 = None
+            for t, off in enumerate(offsets):
+                d2 = jnp.dot(
+                    y1_ref[r0 + off:r0 + off + n, :],
+                    w2v[blk * 9 * cmid + t * cmid:
+                        blk * 9 * cmid + (t + 1) * cmid, :],
+                    preferred_element_type=jnp.int32)
+                acc2 = d2 if acc2 is None else acc2 + d2
+            h2 = jnp.maximum(
+                acc2.astype(jnp.float32) * s2_ref[blk] + b2_ref[blk], 0.0)
+            y2 = jnp.clip(jnp.round(h2 * (1.0 / sc_ref[blk, 1])),
+                          -127.0, 127.0).astype(jnp.int8)
+            if w3 is None:
+                # lazy: conv1+conv2 of this block overlapped the w3 tail
+                dmas[3 * blk + 2].wait()
+                w3 = w3v[blk * cmid:(blk + 1) * cmid, :]
+            acc3 = jnp.dot(y2, w3, preferred_element_type=jnp.int32)
+            h3 = acc3.astype(jnp.float32) * s3_ref[blk] + b3_ref[blk]
+            identity = carry[r0:r1, :].astype(jnp.float32) * sc_ref[blk, 2]
+            out = jnp.maximum(h3 + identity, 0.0)
+            q = jnp.clip(jnp.round(out * (1.0 / sc_ref[blk, 3])),
+                         -127.0, 127.0)
+            carry[r0:r1, :] = jnp.where(
+                mask_ref[r0:r1, :] != 0, q, 0.0).astype(jnp.int8)
+
+    _unpack_rows(out_ref, carry[:], meta)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "nblk", "interpret"))
+def stage_nhwc_resident_stream(
+    x: jax.Array,           # (N, H, W, C) int8 NHWC
+    w1: jax.Array,          # (nblk*C, Cmid) stacked
+    w2: jax.Array,          # (nblk*9*Cmid, Cmid)
+    w3: jax.Array,          # (nblk*Cmid, C)
+    s1, b1, s2, b2,         # (nblk, Cmid)
+    s3, b3,                 # (nblk, C)
+    chain_scales: jax.Array,    # (nblk, 4) [y1s, y2s, x_s, out_s]
+    *,
+    meta: ResidentMeta,
+    nblk: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """stage_nhwc_resident with use-order DMA weight streaming.
+
+    The grid twin's (kernels/resident_chain.py:stage_nhwc_resident)
+    prologue loads block 0's ENTIRE weight set (l4: 4.4 MB) before any
+    compute; here all nblk*3 matrices stream in use order, so compute
+    starts after only w1[0] (l4: 1 MB) and everything later overlaps the
+    matmuls — the round-3 K-tiled-streaming TODO. Bit-identical to the
+    grid twin (same arithmetic, same order). cmid must exceed 64 (the
+    single-dot small-cmid formulation is not expressed here)."""
+    n, h, w, c = x.shape
+    cmid = w1.shape[1]
+    assert cmid > 64, "stream stage kernel: cmid>64 shapes only"
+    assert w1.shape == (nblk * c, cmid)
+    assert w2.shape == (nblk * 9 * cmid, cmid)
+    assert w3.shape == (nblk * cmid, c)
+    g8, bm = meta.g8, meta.u - 2 * meta.g8
+    mask = jnp.asarray(resident_live_mask(meta))
+    vm = pltpu.VMEM
+    anyspace = pl.BlockSpec(memory_space=pltpu.ANY)
+    full = pl.BlockSpec(memory_space=vm)
+    kernel = functools.partial(_stage_stream_kernel, g8=g8, bm=bm, c=c,
+                               cmid=cmid, nblk=nblk, meta=meta)
+    scratch = [
+        pltpu.VMEM((meta.u, c), jnp.int8),        # carry
+        pltpu.VMEM((meta.u, cmid), jnp.int8),     # y1
+        pltpu.VMEM(w1.shape, w1.dtype),
+        pltpu.VMEM(w2.shape, w2.dtype),
+        pltpu.VMEM(w3.shape, w3.dtype),
+        pltpu.SemaphoreType.DMA((nblk, 3)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        in_specs=[full] + [anyspace] * 3 + [full] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM), full],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(x, w1, w2, w3,
+      s1.astype(jnp.float32)[:, None], b1.astype(jnp.float32)[:, None],
+      s2.astype(jnp.float32)[:, None], b2.astype(jnp.float32)[:, None],
+      s3.astype(jnp.float32)[:, None], b3.astype(jnp.float32)[:, None],
+      jnp.asarray(chain_scales, jnp.float32), mask)
+
+
 def _ds_stream_kernel(xf_ref, w1_ref, w2a_ref, w2b_ref, w3_ref, wp_ref,
                       s1_ref, b1_ref, s2_ref, b2_ref, s3_ref, b3_ref,
                       sp_ref, bp_ref, sc_ref, mask_ref, out_ref,

@@ -214,3 +214,28 @@ def test_ds_block_multi_chunk(rng, monkeypatch):
                             meta=mf, out_meta=mo, interpret=True)
     jax.clear_caches()                     # don't leak the tiny-chunk trace
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_apply_resident_with_streamed_stages(rng):
+    """mark_stage_stream routing: the full resident forward with use-order
+    DMA-streamed stage kernels matches the plain resident forward
+    bit-exactly (same arithmetic, same order — only weight arrival
+    overlaps differently)."""
+    from lowbitdnn_project_tpu.kernels.resident_chain import (
+        mark_stage_stream, mark_stream)
+
+    cfg = resnet.RESNET50
+    params = resnet.init_params(jax.random.key(5), cfg)
+    qp8 = resnet.quantize_params(params, cfg)
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_cache.json")
+    with open(path) as f:
+        scales = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in json.load(f)["act_scales"].items()}
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)).astype(np.float32))
+    pack = pack_resident_chain(qp8, scales, cfg)
+    ref = apply_serving_resident(qp8, x, scales, cfg, pack, interpret=True)
+    streamed = mark_stage_stream(mark_stream(pack))
+    assert any(sp.get("stream") for sp in streamed["stages"].values())
+    got = apply_serving_resident(qp8, x, scales, cfg, streamed,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
