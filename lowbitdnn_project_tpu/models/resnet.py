@@ -319,7 +319,7 @@ def apply_quantized_int8chain(
     stop_after_stage: Optional[int] = None,
     start_at_stage: int = 0,
     act_unsigned: bool = False,
-    zp_fold: str = "bias",
+    zp_fold: str = "acc",
     wino_mode: Optional[str] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -374,10 +374,12 @@ def apply_quantized_int8chain(
     add_domain="float"; forces the classic stem and per-conv backend (the
     fused Pallas kernels are symmetric-int8-only).
     zp_fold: zero-point correction mode for act_unsigned convs (ops/conv.py
-    qconv2d): "bias" (default) folds the zp*rowsum(w) correction into the
-    bias vector so the conv->requant graph stays structurally symmetric and
-    XLA fusion survives; "acc" is the exact int32-domain subtraction (the
-    r4 path, ~2x slower e2e — kept for the A/B and exactness oracles).
+    qconv2d): "acc" (default) is the exact int32-domain subtraction —
+    measured 0.94x of the symmetric chain at b32 (uint8_e2e_ab_r5.json)
+    once the fused stem was allowed and the requant -128 shift folded
+    into the round (those two were r4's "2x uint8 price", not this
+    correction); "bias" is the structurally-symmetric position-bias fold,
+    measured worse on speed AND accuracy (see qconv2d docstring).
     wino_mode: None | "int16" | "int8" — route every 3x3 stride-1 pad-1
     conv on an even HxW map through transform-domain quantized Winograd
     F(2x2,3x3) (ops/winograd.py qconv2d_winograd; the reference's fused
@@ -422,9 +424,14 @@ def apply_quantized_int8chain(
     if act_unsigned:
         if add_domain != "float":
             raise NotImplementedError("act_unsigned needs add_domain='float'")
-        # symmetric-only fused paths off; scales were calibrated as
-        # absmax/127, asymmetric sites use absmax/255
-        stem_backend, block_backend = "classic", "none"
+        # symmetric-only fused block paths off; scales were calibrated as
+        # absmax/127, asymmetric sites use absmax/255. The STEM keeps its
+        # normal routing: the fused stem emits a symmetric int8 map (one
+        # site of ~54 keeps the signed grid; the r4 A/B forced the classic
+        # stem here, which was most of the measured b1 uint8 price — the
+        # fused stem at b<=64 is ~120 us faster and orthogonal to the
+        # epilogue asymmetry).
+        block_backend = "none"
         use_wpack = use_w4a8_1x1 = False
         u = 127.0 / 255.0
     else:

@@ -138,7 +138,7 @@ def qconv2d(
     backend: str = "auto",
     wino_u: Optional[Tuple[jax.Array, jax.Array]] = None,
     out_unsigned: bool = False,
-    zp_fold: str = "bias",
+    zp_fold: str = "acc",
     act_group_size: int = 32,
     interpret: bool = False,
 ) -> Union[jax.Array, QTensor]:
@@ -172,13 +172,20 @@ def qconv2d(
         partial convs cost more than one full conv — use per-tensor
         activation scales (possibly asymmetric) on the fast path.
       zp_fold: how the asymmetric zero-point correction is applied.
-        "bias" (default) folds zp*row_sum(w)[k]*scale[k] into the bias
-        vector — a (K,) precompute; the big-tensor graph is structurally
-        identical to the symmetric chain, so XLA's conv->requant fusion
-        survives (the r4 in-graph int32 correction cost ~2x e2e,
-        uint8_e2e_ab_r4.json). "acc" subtracts zp*row_sum(w) on the int32
-        accumulator — bit-matches the (q-zp) integer conv oracle exactly;
-        kept for exactness tests and the e2e A/B.
+        "acc" (default) pads with the static zp value and subtracts
+        zp*row_sum(w) on the int32 accumulator — bit-matches the (q-zp)
+        integer conv oracle exactly, and is the measured-best mode
+        (uint8_e2e_ab_r5.json: 0.94x of the symmetric chain at b32 once
+        the fused stem and the requant shift fold landed — r4's 2x price
+        was those, NOT this correction). "bias" keeps the conv implicitly
+        zero-padded and folds the correction into a position-dependent
+        bias map out = acc*scale + (bias - zp*scale*Win) with
+        Win = conv(ones, sum_c w) the per-position in-bounds tap sum —
+        structurally symmetric, but MEASURED WORSE on both axes: the f32
+        correction-map traffic costs 0.81x at b32 / 3.4x at b1, and
+        acc_implicit ≈ acc_true - zp*Win cancels in float instead of
+        int32, costing logit accuracy (0.0665 vs 0.0472 relerr). Kept as
+        the documented negative result + graph-shape experiment.
       backend: "auto" | "xla" | "xla_gemm" (xla, but 1x1 s1 p0 convs run
         as dot_general — e2e-A/B'd routing experiment) | "gemm"
         (Pallas im2col GEMM) | "direct"
@@ -337,18 +344,12 @@ def qconv2d(
         elif zp is None:
             acc = conv2d_int32(
                 x_q.values, w_q.values, stride, padding, dilation, groups)
-        else:
-            # pad with the (static) zero point so padded positions represent
-            # real 0; the zp correction sum_r (q_r - zp) w_r =
-            # acc_raw - zp * sum_r w_r is NOT applied on the int32 acc —
-            # that extra big-tensor op broke XLA's conv->requant fusion and
-            # cost ~2x e2e (uint8_e2e_ab_r4.json). Instead it folds into the
-            # bias below: zp is a compile-time constant and row_sum(w) a
-            # per-out-channel weight constant, so
-            #   bias' = bias - zp * row_sum(w)[k] * scale[k]
-            # is a (K,)-vector precompute (the reference's alpha-folding
-            # ethos, python/qtorch/cpp/conv2d.cuh:147-155) and the big-tensor
-            # graph is structurally identical to the symmetric chain.
+        elif zp_fold == "acc":
+            # exact int32-domain correction (the r4 path): pad with the
+            # static zp value so padded positions represent real 0, then
+            # acc -= zp * row_sum(w). Bit-matches the (q - zp) integer conv
+            # oracle, but the materialized pad + extra big-tensor op cost
+            # ~2x e2e (uint8_e2e_ab_r4.json); kept for oracles and A/Bs.
             xv = x_q.values
             ph, pw = padding
             if ph or pw:
@@ -357,27 +358,55 @@ def qconv2d(
                     ((0, 0, 0), (ph, ph, 0), (pw, pw, 0), (0, 0, 0)))
             acc = conv2d_int32(
                 xv, w_q.values, stride, (0, 0), dilation, groups)
-            if zp_fold == "acc":
-                # exact int32-domain correction (the r4 path): bit-matches
-                # the (q - zp) integer conv oracle, but the extra big-tensor
-                # op broke conv->requant fusion e2e (uint8_e2e_ab_r4.json)
-                wsum = jnp.sum(w_q.values.astype(jnp.int32), axis=(0, 1, 2))
-                acc = acc - zp * wsum
+            wsum = jnp.sum(w_q.values.astype(jnp.int32), axis=(0, 1, 2))
+            acc = acc - zp * wsum
+        else:
+            # "bias": implicit zero padding (no pad copy — the r5 bisect
+            # found the explicit zp-valued pad was the uint8 chain's main
+            # in-graph cost) + the correction folded into a position-
+            # dependent bias:
+            #   sum_in (q_t - zp) w_t = acc_implicit - zp * Win(p)[k],
+            # Win = conv(ones, w) = per-position sum of in-bounds taps
+            # (interior rows equal row_sum(w); borders exact). zp is a
+            # compile-time constant, Win a batch-independent N=1 conv —
+            # the reference's alpha-folding ethos
+            # (python/qtorch/cpp/conv2d.cuh:147-155) extended to borders.
+            acc = conv2d_int32(
+                x_q.values, w_q.values, stride, padding, dilation, groups)
         out = acc.astype(jnp.float32) * scale
         if zp is not None and zp_fold == "bias":
-            wsum = jnp.sum(w_q.values.astype(jnp.int32), axis=(0, 1, 2))
-            zp_corr = (-float(zp)) * wsum.astype(jnp.float32) * scale
-            bias = zp_corr if bias is None else \
-                jnp.asarray(bias, jnp.float32) + zp_corr
+            # Win via a C=1 conv of per-tap channel-summed weights:
+            # Win[p,k] = sum_{t in bounds at p} sum_c w[t,c,k]
+            #          = conv(ones(1,H,W,1), sum_c w) — H*W*KH*KW*K MACs,
+            # ~1/C the cost of the naive full-C ones-conv (r5 bisect: the
+            # full-C version doubled every conv at b1)
+            wtap = jnp.sum(w_q.values.astype(jnp.int32), axis=2,
+                           keepdims=True)                  # (KH,KW,1,K)
+            ones = jnp.ones((1, h, wdim, 1), jnp.int32)
+            win = jax.lax.conv_general_dilated(
+                ones, wtap, stride,
+                ((padding[0], padding[0]), (padding[1], padding[1])),
+                rhs_dilation=dilation, dimension_numbers=DIMSPEC,
+                preferred_element_type=jnp.int32)          # (1,OH,OW,K)
+            zp_corr = (-float(zp)) * win.astype(jnp.float32) * scale
+            out = out + (zp_corr if bias is None
+                         else zp_corr + jnp.asarray(bias, jnp.float32))
+            bias = None
         if bias is not None:
             out = out + jnp.asarray(bias, jnp.float32)
         if relu:
             out = jnp.maximum(out, 0.0)
         if requant:
-            q = jnp.round(out * (1.0 / jnp.asarray(out_scale, jnp.float32)))
+            inv = 1.0 / jnp.asarray(out_scale, jnp.float32)
             if out_unsigned:
-                out = jnp.clip(q - 128.0, -128.0, 127.0).astype(jnp.int8)
+                # shift folded inside the round: round(y) - 128 ==
+                # round(y - 128) exactly (integer shift), keeping the
+                # epilogue a single fused multiply-add + round + clip —
+                # the same shape as the symmetric requant
+                q = jnp.round(out * inv - 128.0)
+                out = jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
             else:
+                q = jnp.round(out * inv)
                 out = jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
         else:
             out = out.astype(out_dtype)

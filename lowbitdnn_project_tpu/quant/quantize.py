@@ -147,7 +147,9 @@ def quantize(
                 raise ValueError("stochastic=True requires a PRNG key")
             scaled = scaled + jax.random.uniform(
                 key, x.shape, jnp.float32, -0.5, 0.5)
-        q = jnp.clip(_round_ste(scaled) + UINT8_ZP, -128, 127).astype(jnp.int8)
+        # shift inside the round (round(y)+c == round(y+c) for integer c):
+        # one fused affine + round + clip, same graph shape as symmetric
+        q = jnp.clip(_round_ste(scaled + UINT8_ZP), -128, 127).astype(jnp.int8)
         return QTensor(values=q, scale=scale, bits=8, axis=None,
                        zero_point=UINT8_ZP)
     qmax = QMAX[bits]

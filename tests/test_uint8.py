@@ -96,7 +96,7 @@ def test_qconv2d_asymmetric_bias_fold(rng, padding, stride, relu):
     w_q = quantize(jnp.asarray(w), axis=3)
     ref = _ref_asym_conv(x_q, w_q, jnp.asarray(b), stride, padding, relu)
     got = qconv2d(x_q, w_q, jnp.asarray(b), stride=stride, padding=padding,
-                  relu=relu)  # zp_fold="bias" default
+                  relu=relu, zp_fold="bias")
     scale_mag = float(jnp.max(jnp.abs(ref))) + 1e-6
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=2e-5 * scale_mag)
