@@ -6,7 +6,7 @@ b128 is ~350 us (vs 568 us standalone) from fusion-neighborhood bisection
 difference of two chained e2e timings that share every op except the stem:
 
   full_classic = stem(classic)+pool -> stages -> head      (whole chain)
-  rest         = stages -> head  (start_at_stage=1, carry = the int8
+  rest         = stages -> head  (skip_stem=True, carry = the int8
                  post-stem feature map; models/resnet.py's pipeline hook)
   in-chain stem cost = full_classic - rest
 
@@ -75,7 +75,7 @@ def main(batches=(32, 128)):
         def step_rest(c, qp, s):
             out = resnet.apply_quantized_int8chain(
                 qp, QTensor(values=c, scale=s1), s, CFG, backend="xla",
-                start_at_stage=1)
+                skip_stem=True)
             return chain_via_scalar(c, out)
 
         def step_stem_only(c, qp, s):
@@ -87,7 +87,7 @@ def main(batches=(32, 128)):
         lo, hi = (30, 330) if batch <= 32 else (10, 110)
         variants = [("full_classic", step_full_classic, x),
                     ("full_fused", step_full_fused, x),
-                    ("rest_from_stage1", step_rest, fvals),
+                    ("rest_skip_stem", step_rest, fvals),
                     ("stem_standalone", step_stem_only, x)]
         best = {}
         for p in range(2):
@@ -100,7 +100,7 @@ def main(batches=(32, 128)):
         us = {k: round(v * 1e6, 1) for k, v in best.items()}
         row = {"batch": batch, "us": us,
                "stem_inchain_us": round(
-                   us["full_classic"] - us["rest_from_stage1"], 1),
+                   us["full_classic"] - us["rest_skip_stem"], 1),
                "stem_standalone_us": us["stem_standalone"],
                "fused_vs_classic_full": round(
                    us["full_classic"] / us["full_fused"], 3)}

@@ -318,6 +318,7 @@ def apply_quantized_int8chain(
     fold_layer1: bool = False,
     stop_after_stage: Optional[int] = None,
     start_at_stage: int = 0,
+    skip_stem: bool = False,
     act_unsigned: bool = False,
     zp_fold: str = "acc",
     wino_mode: Optional[str] = None,
@@ -486,10 +487,14 @@ def apply_quantized_int8chain(
 
     # Pre-quantized int8 input (e.g. from runtime.preprocess_quantize) is
     # consumed directly — no float round-trip at the serving boundary.
-    if start_at_stage > 0:
+    # skip_stem: enter at residual stage start_at_stage with the POST-STEM
+    # feature map (the stop_after_stage=0 output) — the stem's half of the
+    # pipeline-slicing hooks, used by the in-chain stem ablation
+    # (bench/probes/stem_inchain.py)
+    if start_at_stage > 0 or skip_stem:
         if not isinstance(x, QTensor):
-            raise ValueError("start_at_stage > 0 takes the int8 QTensor "
-                             "feature map of a stop_after_stage call")
+            raise ValueError("start_at_stage > 0 / skip_stem takes the int8 "
+                             "QTensor feature map of a stop_after_stage call")
         x_q = x
         use_fused = use_s2d = False
     else:
@@ -499,7 +504,7 @@ def apply_quantized_int8chain(
             stem_backend == "auto" and x.shape[0] <= 64
             and x.shape[1:3] == (224, 224) and w1.shape == (7, 7, 3, 64))
         use_s2d = stem_backend == "s2d8"
-    if start_at_stage > 0:
+    if start_at_stage > 0 or skip_stem:
         pass
     elif use_fused:
         from lowbitdnn_project_tpu.kernels.stem_fused import (

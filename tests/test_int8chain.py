@@ -141,3 +141,28 @@ def test_int8chain_stop_after_stage(rng):
     # the full chain must reproduce the logits (the hook changes no math)
     y_full = resnet.apply_quantized_int8chain(qparams, x, scales, TINY)
     assert y_full.shape == (2, TINY.num_classes)
+
+
+def test_int8chain_skip_stem_slices_exactly(rng):
+    """skip_stem: feeding the stop_after_stage=0 map back in reproduces the
+    full classic-stem chain bit-exactly (the stem half of the
+    pipeline-slicing hooks; bench/probes/stem_inchain.py relies on it)."""
+    import numpy as np
+    from lowbitdnn_project_tpu.models import resnet
+
+    cfg = resnet.ResNetConfig(stage_blocks=(1, 1, 1, 1), bottleneck=True,
+                              num_classes=10, width=16)
+    params = resnet.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    scales = resnet.calibrate_act_scales(params, [x], cfg)
+    qp = resnet.quantize_params(params, cfg)
+    full = resnet.apply_quantized_int8chain(qp, x, scales, cfg,
+                                            backend="xla",
+                                            stem_backend="classic")
+    feat = resnet.apply_quantized_int8chain(qp, x, scales, cfg,
+                                            backend="xla",
+                                            stem_backend="classic",
+                                            stop_after_stage=0)
+    rest = resnet.apply_quantized_int8chain(qp, feat, scales, cfg,
+                                            backend="xla", skip_stem=True)
+    np.testing.assert_array_equal(np.asarray(rest), np.asarray(full))
