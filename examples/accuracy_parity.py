@@ -160,6 +160,13 @@ def run_family(fam, mod, cfg, lr, momentum, data, steps, batch, seed):
         # transform domain (conv2DForward3x3WinogradFused.cuh:548-549)
         evaluate("int8_wino16", qp8, wino_mode="int16")
         evaluate("int8_wino8", qp8, wino_mode="int8")
+        # per-group activation scales through the whole chain (the
+        # reference's per-4-channel-group activation quantization) — the
+        # group-split exact path, group width 16 on this narrow model
+        s_grp = mod.group_act_scales(
+            mod.calibrate_act_scales(params, cal, cfg, channelwise=True),
+            group_size=16)
+        evaluate("int8_actgroups", qp8, scales=s_grp, act_groups=16)
         # ±4σ transform-domain range analysis on the trained weights
         # (reference weights.py:8-26) — per-layer safety documentation
         from lowbitdnn_project_tpu.ops.winograd import wino_range_report

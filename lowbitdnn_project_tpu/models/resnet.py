@@ -322,6 +322,7 @@ def apply_quantized_int8chain(
     act_unsigned: bool = False,
     zp_fold: str = "acc",
     wino_mode: Optional[str] = None,
+    act_groups: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fully int8-chained inference: activations stay int8 between convs.
@@ -381,6 +382,15 @@ def apply_quantized_int8chain(
     into the round (those two were r4's "2x uint8 price", not this
     correction); "bias" is the structurally-symmetric position-bias fold,
     measured worse on speed AND accuracy (see qconv2d docstring).
+    act_groups: per-GROUP activation scales through the whole chain (the
+    reference's per-4-channel-group scheme at chain level): act_scales
+    must come from calibrate_act_scales(channelwise=True) +
+    group_act_scales(group_size=act_groups); every requant site emits a
+    per-channel (group-constant) scale and every conv consumes it exactly
+    via the group-split path (ops/conv.py act_group_size). Accuracy
+    capability path — G partial convs per conv; A/B'd in
+    accuracy_parity.json (int8_actgroups row). Requires
+    add_domain="float", excludes act_unsigned/fused-stem/block backends.
     wino_mode: None | "int16" | "int8" — route every 3x3 stride-1 pad-1
     conv on an even HxW map through transform-domain quantized Winograd
     F(2x2,3x3) (ops/winograd.py qconv2d_winograd; the reference's fused
@@ -422,6 +432,15 @@ def apply_quantized_int8chain(
         use_w4a8_1x1 = False
     if use_wpack is None:
         use_wpack = False  # e2e A/B loses at b32: see docstring
+    if act_groups:
+        if add_domain != "float" or act_unsigned:
+            raise NotImplementedError(
+                "act_groups needs add_domain='float' and symmetric "
+                "activations")
+        # fused/pallas paths are per-tensor-scale only
+        stem_backend, block_backend = "classic", "none"
+        use_wpack = use_w4a8_1x1 = False
+        fold_layer1 = False
     if act_unsigned:
         if add_domain != "float":
             raise NotImplementedError("act_unsigned needs add_domain='float'")
@@ -442,7 +461,7 @@ def apply_quantized_int8chain(
            unsigned=False):
         if (wino_mode is not None and p.weight.shape[:2] == (3, 3)
                 and stride == 1 and padding == 1 and not unsigned
-                and x_q.zero_point is None
+                and x_q.zero_point is None and x_q.axis is None
                 and x_q.shape[1] % 2 == 0 and x_q.shape[2] % 2 == 0):
             from lowbitdnn_project_tpu.ops.winograd import (
                 qconv2d_winograd, wino_quantize_filter)
@@ -470,7 +489,9 @@ def apply_quantized_int8chain(
         return qconv2d(x_q, p.weight, p.bias, stride=stride, padding=padding,
                        relu=relu, out_scale=out_scale, out_dtype=act_dtype,
                        backend=backend, out_unsigned=unsigned,
-                       zp_fold=zp_fold, interpret=interpret)
+                       zp_fold=zp_fold,
+                       act_group_size=act_groups or 32,
+                       interpret=interpret)
 
     def rescale(x_q: QTensor, new_scale) -> QTensor:
         r = jnp.round(x_q.values.astype(jnp.float32) * (x_q.scale / new_scale))
@@ -680,7 +701,9 @@ def apply_quantized_int8chain(
                               scale=s_out)
             else:
                 out_f = jnp.maximum(h + identity, 0.0)
-                x_q = quantize(out_f, scale=s_out * u, unsigned=act_unsigned)
+                x_q = quantize(out_f, scale=s_out * u,
+                               unsigned=act_unsigned,
+                               axis=3 if jnp.ndim(s_out) > 0 else None)
         if stop_after_stage == st + 1:
             return x_q
     # mean of dequantized values: subtracts the zero point when asymmetric
@@ -894,6 +917,7 @@ def calibrate_act_scales(
     strategy: str = "absmax",
     sigma_k: float = 4.0,
     percentile: float = 99.99,
+    channelwise: bool = False,
 ) -> Dict[str, jax.Array]:
     """Static activation calibration: run FP32 forwards over calibration
     batches, record per-site statistics, return site -> scale. (Reference
@@ -911,12 +935,21 @@ def calibrate_act_scales(
     """
     from lowbitdnn_project_tpu.quant.qtensor import QMAX
 
+    if channelwise and strategy != "absmax":
+        raise NotImplementedError("channelwise calibration: absmax only")
+
     @jax.jit
     def site_stats(params, x):
         caps: Dict[str, jax.Array] = {}
 
         def track(name, v):
-            stats = {"absmax": jnp.max(jnp.abs(v))}
+            # channelwise: per-channel absmax for 4D (NHWC) sites — the
+            # raw material for per-group activation scales
+            # (group_act_scales); scalar sites (fc) stay per-tensor
+            if channelwise and v.ndim == 4:
+                stats = {"absmax": jnp.max(jnp.abs(v), axis=(0, 1, 2))}
+            else:
+                stats = {"absmax": jnp.max(jnp.abs(v))}
             if strategy == "sigma":
                 vf = v.astype(jnp.float32)
                 stats.update(n=jnp.float32(vf.size), s=jnp.sum(vf),
@@ -988,3 +1021,32 @@ def calibrate_act_scales(
     qmax = QMAX[bits]
     return {k: jnp.maximum(range_max(a), 1e-12) / qmax
             for k, a in acc.items()}
+
+
+def group_act_scales(scales: Dict[str, jax.Array], group_size: int = 32
+                     ) -> Dict[str, jax.Array]:
+    """Per-channel calibrated scales -> group-constant per-channel scales.
+
+    Input: calibrate_act_scales(..., channelwise=True) output (per-channel
+    absmax vectors at 4D sites). Each site's channels are grouped in runs
+    of ``group_size`` and each group gets its own scale (the max over the
+    group), expanded back to per-channel — the contract qconv2d's
+    group-split path consumes exactly (reference per-4-channel-group
+    scheme, conv2DForward3x3Fused.cuh:15-31). Sites whose channel count
+    group_size does not divide (the C=3 input site) and scalar sites fall
+    back to per-tensor.
+    """
+    out = {}
+    for k, v in scales.items():
+        v = jnp.asarray(v)
+        if v.ndim == 0 or v.size == 1:
+            out[k] = v.reshape(())
+            continue
+        c = v.shape[0]
+        if c % group_size:
+            out[k] = jnp.max(v).reshape(())
+            continue
+        g = v.reshape(c // group_size, group_size)
+        gm = jnp.max(g, axis=1, keepdims=True)
+        out[k] = jnp.broadcast_to(gm, g.shape).reshape(c)
+    return out

@@ -397,7 +397,7 @@ def qconv2d(
         if relu:
             out = jnp.maximum(out, 0.0)
         if requant:
-            inv = 1.0 / jnp.asarray(out_scale, jnp.float32)
+            inv = 1.0 / jnp.asarray(out_scale, jnp.float32).reshape(-1)
             if out_unsigned:
                 # shift folded inside the round: round(y) - 128 ==
                 # round(y - 128) exactly (integer shift), keeping the
@@ -414,7 +414,20 @@ def qconv2d(
         raise ValueError(f"unknown backend {backend!r}")
 
     if requant:
-        return QTensor(values=out, scale=jnp.asarray(out_scale, jnp.float32),
+        os_arr = jnp.asarray(out_scale, jnp.float32)
+        if os_arr.size > 1:
+            # per-out-channel requant scale (the per-group activation-scale
+            # chain): the emitted QTensor carries a per-channel axis=3
+            # scale, consumed downstream by the group-split path. XLA
+            # backend only — the Pallas epilogues take scalar out scales.
+            if backend not in ("xla", "xla_gemm"):
+                raise NotImplementedError(
+                    "vector out_scale requires the XLA backend")
+            return QTensor(values=out,
+                           scale=os_arr.reshape((1, 1, 1, out.shape[-1])),
+                           bits=8, axis=3,
+                           zero_point=-128 if out_unsigned else None)
+        return QTensor(values=out, scale=os_arr,
                        bits=8, axis=None,
                        zero_point=-128 if out_unsigned else None)
     return out

@@ -146,3 +146,32 @@ def test_qlinear_group_act_scales_exact(rng):
     ref = xv @ wv + b
     np.testing.assert_allclose(np.asarray(got, np.float64), ref,
                                rtol=1e-5, atol=1e-4 * np.abs(ref).max())
+
+
+def test_resnet_chain_act_groups(rng):
+    """Full int8 chain with per-group activation scales: runs end to end,
+    tracks fp32 at least as well as the per-tensor chain (finer grids
+    can't hurt beyond noise)."""
+    from lowbitdnn_project_tpu.models import resnet
+
+    cfg = resnet.ResNetConfig(stage_blocks=(1, 1, 1, 1), bottleneck=True,
+                              num_classes=10, width=16)
+    params = resnet.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    ref = resnet.apply_fp32(params, x, cfg)
+    qp = resnet.quantize_params(params, cfg)
+    s_pt = resnet.calibrate_act_scales(params, [x], cfg)
+    s_ch = resnet.calibrate_act_scales(params, [x], cfg, channelwise=True)
+    s_g = resnet.group_act_scales(s_ch, group_size=16)
+    # grouped scales are group-constant and no looser than per-tensor
+    for k, v in s_g.items():
+        if jnp.ndim(v) > 0:
+            assert float(jnp.max(v)) <= float(s_pt[k]) * (1 + 1e-6)
+    base = resnet.apply_quantized_int8chain(qp, x, s_pt, cfg, backend="xla")
+    grp = resnet.apply_quantized_int8chain(qp, x, s_g, cfg, backend="xla",
+                                           act_groups=16)
+    rn = float(jnp.linalg.norm(ref))
+    e_base = float(jnp.linalg.norm(base - ref)) / rn
+    e_grp = float(jnp.linalg.norm(grp - ref)) / rn
+    assert e_grp <= e_base * 1.25 + 1e-4, (e_grp, e_base)
+    assert e_grp < 0.15
