@@ -75,8 +75,11 @@ def config1_single_conv(t0):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return chain_via_scalar(cr, out)
 
-    t_i8 = chained_device_time(step_int8, x, lo=200, hi=2200)
-    t_bf = chained_device_time(step_bf16, xb, lo=200, hi=2200)
+    # iteration floors per CLAUDE.md: deltas under ~100 ms measure relay
+    # jitter — a ~12 us conv needs hi~10000 (the first run's hi=2200
+    # returned 0.0 us)
+    t_i8 = chained_device_time(step_int8, x, lo=1000, hi=11000)
+    t_bf = chained_device_time(step_bf16, xb, lo=300, hi=3300)
     macs = b * h * h * k * 9 * c
     tops = 2 * macs / t_i8 / 1e12
     return {
