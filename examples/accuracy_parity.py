@@ -149,10 +149,11 @@ def run_family(fam, mod, cfg, lr, momentum, data, steps, batch, seed):
     evaluate("w4a8", mod.quantize_params(p4, cfg, bits=4), scales=scales4)
 
     extras = {}
+    # uint8 asymmetric activations: same absmax scales, 256 levels — both
+    # families (post-ReLU/ReLU6 sites are one-sided in each)
+    qp8 = mod.quantize_params(params, cfg, bits=8)
+    evaluate("int8_uint8acts", qp8, act_unsigned=True)
     if fam == "resnet":
-        qp8 = mod.quantize_params(params, cfg, bits=8)
-        # uint8 asymmetric activations: same absmax scales, 256 levels
-        evaluate("int8_uint8acts", qp8, act_unsigned=True)
         # Winograd accuracy gate (BASELINE config 5 "where numerically
         # safe"): every 3x3 s1 p1 conv on an even map through the
         # transform domain — int16 = exact integer Winograd (gate on the

@@ -240,6 +240,7 @@ def apply_quantized_int8chain(qparams, x, act_scales,
                               dw_domain: str = "int8",
                               stem_domain: str = "auto",
                               backend: str = "auto",
+                              act_unsigned: bool = False,
                               stop_after_block: Optional[int] = None,
                               interpret: bool = False):
     """Fully int8-chained MobileNet-V2: expand/dw/project consume and emit
@@ -265,11 +266,14 @@ def apply_quantized_int8chain(qparams, x, act_scales,
 
     s = act_scales
     nblocks = len(qparams["blocks"])
+    u = 127.0 / 255.0 if act_unsigned else 1.0
 
-    def qc(x_q, p, out_scale, relu, stride=1, padding=0, groups=1):
+    def qc(x_q, p, out_scale, relu, stride=1, padding=0, groups=1,
+           unsigned=False):
         return qconv2d(x_q, p.weight, p.bias, stride=stride, padding=padding,
                        groups=groups, relu=relu, out_scale=out_scale,
                        out_dtype=act_dtype, backend=backend,
+                       out_unsigned=unsigned,
                        interpret=interpret)
 
     def rescale(x_q, new_scale):
@@ -308,25 +312,29 @@ def apply_quantized_int8chain(qparams, x, act_scales,
         if qparams["stem"].bias is not None:
             h = h + qparams["stem"].bias.astype(act_dtype)
         h = jnp.maximum(h, jnp.asarray(0, act_dtype))   # 6-clamp ≡ requant clip
-        x_q = quantize(h.astype(jnp.float32), scale=s[block_in_site(0)])
+        x_q = quantize(h.astype(jnp.float32), scale=s[block_in_site(0)] * u,
+                       unsigned=act_unsigned)
     else:
         x_q = quantize(x, scale=s["stem"])
-        x_q = qc(x_q, qparams["stem"], s[block_in_site(0)], relu=True,
-                 stride=2, padding=1)
+        x_q = qc(x_q, qparams["stem"], s[block_in_site(0)] * u, relu=True,
+                 stride=2, padding=1, unsigned=act_unsigned)
     if stop_after_block == -1:
         return x_q.values
     for i, blk in enumerate(qparams["blocks"]):
         s_out = s[block_in_site(i + 1)]
         h = x_q
         if "expand" in blk:
-            h = qc(h, blk["expand"], s[f"b{i}.dw"], relu=True)
+            h = qc(h, blk["expand"], s[f"b{i}.dw"] * u, relu=True,
+                   unsigned=act_unsigned)
         cmid = h.shape[-1]
         if dw_domain == "float":
             h = quantize(dw_float(h, blk, strides[i], cmid),
-                         scale=s[f"b{i}.project"])
+                         scale=s[f"b{i}.project"] * u,
+                         unsigned=act_unsigned)
         else:
-            h = qc(h, blk["dw"], s[f"b{i}.project"], relu=True,
-                   stride=strides[i], padding=1, groups=cmid)
+            h = qc(h, blk["dw"], s[f"b{i}.project"] * u, relu=True,
+                   stride=strides[i], padding=1, groups=cmid,
+                   unsigned=act_unsigned)
         residual = (strides[i] == 1 and
                     x_q.shape[-1] == blk["project"].weight.shape[-1])
         if residual and add_domain == "float":

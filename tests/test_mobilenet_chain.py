@@ -86,3 +86,29 @@ def test_mobilenet_int8chain_jits(rng):
         p, xx, scales, CFG, backend="xla"))
     out = f(qparams, x)
     assert out.shape == (2, 10) and np.isfinite(np.asarray(out)).all()
+
+
+def test_mobilenet_chain_act_unsigned(rng):
+    """uint8 activations at the post-relu6 sites: logits track fp32 at
+    least as well as the symmetric chain (finer one-sided grids)."""
+    import numpy as np
+    from lowbitdnn_project_tpu.models import mobilenet
+
+    cfg = mobilenet.MobileNetV2Config(
+        stages=((1, 16, 1, 1), (6, 24, 2, 2)), num_classes=10,
+        stem_ch=16, head_ch=64)
+    params = mobilenet.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    ref = mobilenet.apply_fp32(params, x, cfg)
+    scales = mobilenet.calibrate_act_scales(params, [x], cfg)
+    qp = mobilenet.quantize_params(params, cfg)
+    sym = mobilenet.apply_quantized_int8chain(qp, x, scales, cfg,
+                                              backend="xla")
+    asym = mobilenet.apply_quantized_int8chain(qp, x, scales, cfg,
+                                               backend="xla",
+                                               act_unsigned=True)
+    rn = float(jnp.linalg.norm(ref))
+    e_s = float(jnp.linalg.norm(sym - ref)) / rn
+    e_a = float(jnp.linalg.norm(asym - ref)) / rn
+    assert e_a <= e_s * 1.25 + 1e-4, (e_a, e_s)
+    assert e_a < 0.2
