@@ -1,4 +1,4 @@
-"""ResNet-18/34/50 — FP32 baseline + INT8/INT4 quantized inference graphs.
+"""ResNet-18/34/50/101/152 — FP32 baseline + INT8/INT4 quantized inference graphs.
 
 Model family required by BASELINE.json configs 2/3/5. The reference has no
 ResNet implementation (its only model is the 4-conv MNIST net, python/tmp.py:31-59);
@@ -45,6 +45,8 @@ class ResNetConfig:
 RESNET18 = ResNetConfig(stage_blocks=(2, 2, 2, 2), bottleneck=False)
 RESNET34 = ResNetConfig(stage_blocks=(3, 4, 6, 3), bottleneck=False)
 RESNET50 = ResNetConfig(stage_blocks=(3, 4, 6, 3), bottleneck=True)
+RESNET101 = ResNetConfig(stage_blocks=(3, 4, 23, 3), bottleneck=True)
+RESNET152 = ResNetConfig(stage_blocks=(3, 8, 36, 3), bottleneck=True)
 
 
 # ----------------------------------------------------------------- FP32 init

@@ -77,6 +77,31 @@ def test_mnist_forward_shapes():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_deep_resnet_configs(rng):
+    """ResNet-101/152 named configs: torchvision-depth structure + a narrow
+    deep-stage forward (the 23/36-block stage-3 wiring is what's new)."""
+    # conv count = stem + 3 convs/bottleneck + 4 downsample projections
+    for cfg, blocks, n_convs in ((resnet.RESNET101, (3, 4, 23, 3), 104),
+                                 (resnet.RESNET152, (3, 8, 36, 3), 155)):
+        assert cfg.stage_blocks == blocks and cfg.bottleneck
+        params = resnet.init_params(jax.random.key(0), cfg)
+        convs = [a for a in jax.tree_util.tree_leaves(params)
+                 if hasattr(a, "ndim") and a.ndim == 4]
+        assert len(convs) == n_convs, (cfg.stage_blocks, len(convs))
+
+    narrow = resnet.ResNetConfig(stage_blocks=(1, 1, 23, 1), bottleneck=True,
+                                 num_classes=10, width=8)
+    params = resnet.init_params(jax.random.key(3), narrow)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    logits_f = resnet.apply_fp32(params, x, narrow)
+    qparams = resnet.quantize_params(params, narrow)
+    logits_q = resnet.apply_quantized(qparams, x, narrow, backend="xla")
+    assert logits_f.shape == logits_q.shape == (2, 10)
+    rel = float(jnp.linalg.norm(logits_q - logits_f) /
+                jnp.linalg.norm(logits_f))
+    assert rel < 0.25, rel  # 26 quantized blocks of noise accumulation
+
+
 def test_resnet_jit_compiles(rng):
     params = resnet.init_params(jax.random.key(0), TINY_R18)
     qparams = resnet.quantize_params(params, TINY_R18)
