@@ -35,6 +35,7 @@ def chained_device_time(
     hi: int = 110,
     reps: int = 3,
     args: Tuple = (),
+    compiler_options: dict | None = None,
 ) -> float:
     """Seconds per iteration of ``step``, measured on-device.
 
@@ -46,7 +47,11 @@ def chained_device_time(
     device and the executable is ~1 MB.
     """
 
-    @jax.jit
+    # compiler_options: XLA/libtpu env_option_overrides for THIS executable
+    # only (e.g. {"xla_tpu_scoped_vmem_limit_kib": "8192"}) — the way to
+    # probe TPU backend flags here, since client-side XLA_FLAGS parsing
+    # rejects libtpu-only flag names (measured, xla_flags_ab r5).
+    @functools.partial(jax.jit, compiler_options=compiler_options)
     def run_loop(init, iters, *args):
         # dynamic trip count: one compile serves every iteration count
         # (cold-start cost matters — each compile is a full model graph)
